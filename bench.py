@@ -1,0 +1,78 @@
+"""Benchmark runner.
+
+Runs the registered queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). Usage: python bench.py [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from koalas_spark import get_spark
+from koalas_spark.queries import all_queries
+
+# the headline set benched every round (full registry also available
+# via --all); chosen to cover scan/filter, shuffle-agg, joins, window,
+# text, dedup, ann, streaming
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "top_k_per_group",
+    "sessionize_events",
+    "asof_join_events_orders",
+    "window_tumbling_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "neardup_embedding",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "text_langid",
+]
+
+
+def run(sf_dir: str, names: list[str]) -> dict:
+    spark = get_spark("koalas_spark_bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so timings measure the query
+    queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in names:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "koalas_spark headline queries wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = HEADLINE
+    if "--all" in sys.argv:
+        names = sorted(all_queries())
+    for a in sys.argv[1:]:
+        if a.startswith("--queries="):
+            names = a.split("=", 1)[1].split(",")
+    print(json.dumps(run(sf_dir, names)))

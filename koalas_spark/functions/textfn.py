@@ -1,0 +1,62 @@
+"""Column-level text functions — all JVM-side Catalyst expressions
+(whole-stage codegen; no Python in the row loop).
+
+Cross-engine notes: patterns are kept to ASCII classes so Java regex
+(Spark) and RE2 (DuckDB) agree; md5 hex output is identical in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def normalize_text(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased content (dedup canonical form)."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Portable 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords))).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    """Number of ASCII punctuation characters."""
+    stripped = F.regexp_replace(text, r"[!-/:-@\[-`{-~]", "")
+    return (F.length(text) - F.length(stripped)).cast("long")
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token array.
+
+    Built with higher-order functions (transform over an index
+    sequence) — stays inside codegen, no UDF. Empty array when the
+    document has fewer than ``n`` tokens.
+    """
+    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+            ),
+        )
+    )

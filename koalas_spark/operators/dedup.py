@@ -1,0 +1,173 @@
+"""Deduplication operators for web-scale corpora (SURVEY.md §2.3).
+
+Four families, all shuffle-light by construction:
+
+  exact        md5(normalized) → hash-partition on fingerprint, keep min id
+  minhash-LSH  shingles → k-perm minhash → banded buckets → pair-join →
+               exact-Jaccard verify (only candidates pay the verify cost)
+  simhash      64-bit sign fingerprint → 4×16-bit segment pigeonhole →
+               hamming verify with bit_count(xor)
+  n-gram       exact Jaccard inside small blocking keys
+
+At 100 TB: every stage is a hash shuffle on a uniform synthetic key
+(fingerprint / band signature / bit segment), so no skew; candidate
+pair sets are tiny relative to the corpus; nothing collects to the
+driver. All hashing is xxhash64 — JVM codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from koalas_spark.functions.textfn import normalize_text, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each exact (normalized)
+    duplicate class. One shuffle on the 128-bit fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """id → (shingles, minhash signature array of length num_perm).
+
+    perm_i(s) = xxhash64(i, s); signature[i] = min over shingles.
+    Computed as one codegen'd expression per row — no shuffle."""
+    sh = word_shingles(tokens(F.col(text_col)), shingle_n).alias("shingles")
+    base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("shingles") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_perm)
+        ]
+    ).alias("sig")
+    return base.select("id", "shingles", sig)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Banded LSH: docs agreeing on all `rows` signature slots of any
+    band become a candidate pair. Shuffles on (band, band_hash) —
+    uniform 64-bit keys."""
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (codegen)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, sigs: DataFrame, threshold: float
+) -> DataFrame:
+    """Join shingle sets back onto candidate pairs and keep pairs with
+    exact Jaccard >= threshold."""
+    sh = sigs.select("id", "shingles")
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
+    the vote sum sets the fingerprint bit.
+
+    Implemented by exploding tokens and aggregating 64 conditional
+    sums — partial aggregation map-side keeps the shuffle at one row
+    of 64 longs per document."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs via 4×16-bit segment pigeonhole (any pair with
+    hamming<=3 must agree on >=1 segment), verified with
+    bit_count(xor)."""
+    seg = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftright(F.col("simhash"), s * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("sv"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("sk"),
+    ).select("id", "simhash", "sk.seg", "sk.sv")
+    a, b = seg.alias("a"), seg.alias("b")
+    cand = (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.sv") == F.col("b.sv")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,64 @@
+"""Query registry.
+
+Every operator in SURVEY.md §2 registers here as
+    name -> (callable(spark, sf_dir) -> DataFrame, oracle_sql | None)
+The driver (and tools/check_oracle.py) runs the Spark callable and the
+DuckDB oracle side-by-side; column names and values must match exactly.
+
+Cross-engine determinism rules used throughout:
+  - double aggregations go through exact decimal summation:
+    CAST(SUM(CAST(expr AS DECIMAL(25,6))) AS DOUBLE) — addition order
+    no longer matters, so Spark and DuckDB agree bit-for-bit;
+  - per-row double arithmetic (x*(1-d)) is IEEE-deterministic and
+    portable as-is;
+  - counts are cast to BIGINT on the Spark side (DuckDB len()/count()
+    return BIGINT, Spark size()/length() return INT);
+  - top-k queries carry full tie-break orderings so membership is
+    deterministic;
+  - portable hashing uses md5 (identical hex in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load()
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for registration side effects
+    from koalas_spark.queries import analytics, parity, text, dedup, similarity, multimodal, streaming  # noqa: F401
+
+    _LOADED = True

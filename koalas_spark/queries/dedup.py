@@ -1,0 +1,141 @@
+"""Dedup queries over the documents table (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koalas_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+    verify_pairs_jaccard,
+)
+from koalas_spark.functions.textfn import tokens, word_shingles
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+
+
+# 37. exact dedup — md5(normalized) classes, keep min doc_id.
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, fingerprint
+FROM (
+  SELECT doc_id,
+         md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         MIN(doc_id) OVER (PARTITION BY md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))))) AS _m
+  FROM documents) t
+WHERE doc_id = _m
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# 38. MinHash + LSH near-dup pairs (rows-only: the xxhash64 permutation
+# family is Spark-specific; correctness is anchored by the exact-Jaccard
+# verify stage and the unit tests with planted near-duplicates).
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
+    return verify_pairs_jaccard(pairs, sigs, threshold=0.5).withColumnsRenamed(
+        {"id_a": "doc_a", "id_b": "doc_b"}
+    )
+
+
+# 39. exact n-gram Jaccard inside (lang, source) blocks — fully
+# oracle-checked via DuckDB list functions.
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+             range(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang, source,
+               string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+             / (LEN(a.shingles) + LEN(b.shingles)
+                - LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x)))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        word_shingles(tokens(F.col("text")), 3).alias("shingles"),
+    ).filter(F.size(tokens(F.col("text"))) >= 3)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6).alias("jaccard"),
+        )
+    )
+
+
+# 40. SimHash near-dup candidates (rows-only: xxhash64 token hashes).
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash64(docs, "doc_id", "text")
+    return simhash_near_pairs(sims, max_hamming=3).withColumnsRenamed(
+        {"id_a": "doc_a", "id_b": "doc_b"}
+    )
+
+
+# 41. embedding near-dup — cosine >= 0.35 within label blocks,
+# double-precision index-order arithmetic on both engines.
+@query(
+    "neardup_embedding",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                    * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                   * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) >= 0.35
+""",
+)
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.vectorfn import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )

@@ -1,0 +1,45 @@
+"""Similarity-search queries over the embeddings table (§2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koalas_spark.operators.similarity import brute_force_topk, lsh_topk
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+
+_COS = (
+    "list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / SQRT(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))"
+    " * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))"
+)
+
+
+# 42. exact ANN baseline: top-5 cosine neighbors of 5 probe vectors.
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+SELECT probe_id, neighbor_id, cos_sim, rk FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         ROUND({_COS}, 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY ROUND({_COS}, 6) DESC, c.vec_id ASC) AS rk
+  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+  WHERE p.vec_id < 5) t
+WHERE rk <= 5
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+
+
+# 43. LSH-bucketed ANN (rows-only: the hyperplane family is built from
+# xxhash64; recall vs the brute-force baseline is asserted in tests).
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, probes, "vec_id", "embedding", k=5, num_planes=8, dim=64)

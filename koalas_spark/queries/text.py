@@ -1,0 +1,193 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.5).
+
+Per-row text ops are embarrassingly parallel — no shuffle at all
+except the final stats aggregations. Everything is a Catalyst
+expression (codegen), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koalas_spark.functions.textfn import (
+    STOPWORDS,
+    fingerprint_md5,
+    punct_count,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t, _dsum_sql
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# 44. token / char counting.
+@query(
+    "text_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(list_sum(list_transform(string_split_regex(TRIM(text), '\\s+'),
+                                    x -> LENGTH(x))) AS DOUBLE)
+         / LEN(string_split_regex(TRIM(text), '\\s+')) AS avg_token_len
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    tok_chars = F.aggregate(
+        F.transform(tok, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (tok_chars.cast("double") / F.size(tok)).alias("avg_token_len"),
+    )
+
+
+# 45. quality scoring — length/punct/stopword composite.
+@query(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id, n_tokens, punct_ratio, stop_ratio,
+       CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       + CAST(0.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+       + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE) * stop_ratio)
+         AS quality_score
+FROM (
+  SELECT doc_id,
+         CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))
+              AS DOUBLE) / LENGTH(text) AS punct_ratio,
+         CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                              x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+           / LEN(string_split_regex(TRIM(text), '\\s+')) AS stop_ratio
+  FROM documents) t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = token_count(F.col("text"))
+    punct_ratio = punct_count(F.col("text")).cast("double") / F.length("text")
+    stop_ratio = stopword_count(F.col("text")).cast("double") / F.size(tokens(F.col("text")))
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    score = (
+        F.lit(0.3) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.4) * (F.lit(1.0) - F.col("punct_ratio"))
+        + F.lit(0.3) * F.least(F.lit(1.0), F.lit(4.0) * F.col("stop_ratio"))
+    )
+    return base.withColumn("quality_score", score)
+
+
+# 46. language identification — deterministic marker-word profiles.
+# (The synthetic corpus draws one shared vocabulary for every labeled
+# lang, so predictions collapse to the English profile — the operator
+# structure (profile scoring + argmax with fixed tie-break) is the
+# point; real profiles drop in per deployment.)
+_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht"),
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "los", "que", "y", "por"),
+    "fr": ("le", "les", "une", "et", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def _profile_counts_sql() -> str:
+    cols = []
+    for lang, words in _PROFILES.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"CAST(LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x IN ({wl}))) AS BIGINT) AS c_{lang}"
+        )
+    return ",\n         ".join(cols)
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+         WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+         WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+         WHEN c_fr >= c_zh THEN 'fr'
+         ELSE 'zh'
+       END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         {_profile_counts_sql()}
+  FROM documents) t
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    def _member(words: tuple[str, ...]):
+        # single-arg lambda factory: a 2-arg lambda would make Spark
+        # pass the element index as the second argument
+        return lambda t: t.isin(*words)
+
+    counts = {
+        lang: F.size(F.filter(tok, _member(words))).cast("long")
+        for lang, words in _PROFILES.items()
+    }
+    base = d.select("doc_id", "lang", *[c.alias(f"c_{l}") for l, c in counts.items()])
+    c = {l: F.col(f"c_{l}") for l in _PROFILES}
+    pred = (
+        F.when(
+            (c["de"] >= c["en"]) & (c["de"] >= c["es"]) & (c["de"] >= c["fr"]) & (c["de"] >= c["zh"]),
+            "de",
+        )
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["zh"]), "en")
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["zh"]), "es")
+        .when(c["fr"] >= c["zh"], "fr")
+        .otherwise("zh")
+    )
+    return base.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# 47. content fingerprint — portable md5 of normalized text.
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+# 48. per-source corpus stats.
+@query(
+    "docs_source_stats",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+""",
+)
+def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -1,0 +1,74 @@
+"""Structured Streaming operators (SURVEY.md §2.7).
+
+Streams are first-class: readStream → event-time window aggregation
+with a watermark → sink. Locally we drive the stream from the parquet
+file source and a memory sink with processAllAvailable() so a batch of
+rows flows through the *streaming* engine synchronously; in production
+the same query runs off Kafka with the identical plan.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run a tumbling-window count/sum aggregation through the
+    streaming engine over a bounded parquet source; returns the final
+    result as a batch DataFrame.
+
+    Uses update-free 'complete' mode into a memory sink (fine for the
+    low-cardinality window×type state; production sinks use append +
+    watermark eviction via foreachBatch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # the file streaming source wants a directory to monitor; stage the
+    # (read-only) input file behind a symlink dir
+    stage = f"/root/repo/.tmp/stream_{abs(hash(events_path)) % 10**8}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    src = spark.readStream.schema(schema).parquet(stage)
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as long; truncate to micros
+        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    qname = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.table(qname).select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        # materialize before stopping the query (memory sink is tied to it)
+        result = spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        q.stop()
+    return result

@@ -1,0 +1,124 @@
+"""Operator-level tests with planted cases (dedup families, as-of join,
+similarity search) on controlled inputs — the properties the DuckDB
+oracle can't check (recall of LSH candidates, stub behavior)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from koalas_spark.operators.asof import asof_join
+from koalas_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash64,
+    simhash_near_pairs,
+    verify_pairs_jaccard,
+)
+from koalas_spark.operators.similarity import brute_force_topk, lsh_topk
+
+BASE = (
+    "spark makes big data simple fast and scalable for analytics "
+    "pipelines across many machines with columnar storage and lazy plans"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 0/1 identical; 2 near-dup of 0 (one word changed); 3 unrelated
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE.replace("fast", "quick")),
+        (3, "completely different content about cooking recipes and baking bread at home with yeast flour water salt and patience"),
+    ]
+    return rows
+
+
+def test_exact_dedup_plants(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = exact_dedup(df, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2, 3]  # 1 collapses into 0
+
+
+def test_minhash_lsh_finds_neardup(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", num_perm=64)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
+    verified = verify_pairs_jaccard(pairs, sigs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (0, 1) in got  # identical docs always pair
+    assert (0, 2) in got  # near-dup survives banding + jaccard>=0.5
+    assert all(3 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sims = simhash64(df, "doc_id", "text")
+    vals = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert vals[0] == vals[1]  # identical text, identical fingerprint
+    pairs = simhash_near_pairs(sims, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert all(3 not in k for k in got)
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 100.0), (1, "2024-01-03 00:00:00", 101.0),
+         (2, "2024-01-02 00:00:00", 200.0)],
+        "k long, t string, px double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "px")
+    trades = spark.createDataFrame(
+        [(1, "2024-01-02 12:00:00"), (1, "2024-01-03 00:00:00"),  # equal ts → inclusive
+         (2, "2024-01-01 00:00:00"),  # before any quote → null
+         (3, "2024-01-05 00:00:00")],  # unknown key → null
+        "k long, t string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    out = asof_join(
+        trades, quotes, left_key="k", right_key="k", left_time="t", right_time="t",
+        payload_cols={"px": "px"},
+    )
+    got = {(r["k"], str(r["t"])): r["px"] for r in out.collect()}
+    assert got[(1, "2024-01-02 12:00:00")] == 100.0
+    assert got[(1, "2024-01-03 00:00:00")] == 101.0  # <= is inclusive
+    assert got[(2, "2024-01-01 00:00:00")] is None
+    assert got[(3, "2024-01-05 00:00:00")] is None
+
+
+def test_ann_topk_and_lsh_recall(spark):
+    import math
+
+    # 3 clusters of near-identical vectors on distinct axes
+    def vec(axis, eps, dim=8):
+        v = [eps * math.sin(i) for i in range(dim)]
+        v[axis] += 1.0
+        return v
+
+    rows = [(i, vec(i % 3, 0.01 * (i // 3))) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, probes, "vec_id", "embedding", k=3)
+    res = {(r["probe_id"], r["rk"]): r["neighbor_id"] for r in exact.collect()}
+    # nearest neighbors of probe p are the other vectors on the same axis
+    for p in range(3):
+        neigh = {res[(p, rk)] for rk in (1, 2, 3)}
+        assert neigh == {p + 3, p + 6, p + 9}
+
+    approx = lsh_topk(emb, probes, "vec_id", "embedding", k=3, num_planes=4, dim=8)
+    arr = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    exact_set = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(arr & exact_set) / len(exact_set)
+    assert recall >= 0.5  # bucket-local search keeps most true neighbors
+
+
+def test_multimodal_stub(spark):
+    from koalas_spark.operators.multimodal import decode_stub, extract_meta, with_blob
+
+    df = spark.createDataFrame([(1, "hello"), (2, "wörld")], "doc_id long, text string")
+    meta = extract_meta(with_blob(df), "doc_id")
+    got = {r["doc_id"]: (r["n_bytes"], r["kind"]) for r in meta.collect()}
+    assert got[1] == (5, "text/plain")
+    assert got[2] == (6, "text/plain")  # ö is 2 UTF-8 bytes
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG")

@@ -1,0 +1,40 @@
+"""Fast oracle gate at sf0.001 — every registered query runs and, when
+it has an oracle, matches DuckDB exactly (the driver repeats this at
+sf0.01)."""
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_SMOKE
+from koalas_spark.queries import all_oracles, all_queries
+from koalas_spark.sources.io import TPCH_TABLES
+from tools.check_oracle import _norm
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = all_queries()[name]
+    sdf = fn(spark, SF_SMOKE)
+    s_cols = sorted(sdf.columns)
+    s_rows = sorted(tuple(_norm(r[c]) for c in s_cols) for r in sdf.collect())
+
+    oracle = all_oracles().get(name)
+    if oracle is None:
+        assert s_rows is not None  # rows-only: runs and returns a frame
+        return
+    cur = duck.execute(oracle)
+    raw = [c[0] for c in cur.description]
+    order = sorted(range(len(raw)), key=lambda i: raw[i])
+    d_cols = [raw[i] for i in order]
+    d_rows = sorted(tuple(_norm(row[i]) for i in order) for row in cur.fetchall())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows
