@@ -57,6 +57,7 @@ def run(sf_dir: str, names: list[str]) -> dict:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # release per-query persists
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "koalas_spark headline queries wall time",

@@ -36,22 +36,57 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """id → hashed shingle set (array<long>).
+
+    Each shingle is string-hashed ONCE (xxhash64) so every downstream
+    stage (signatures, verify joins) moves 8-byte keys, not text.
+    Callers that consume this more than once should persist it."""
+    # materialize tokens first — an inline split would re-run per
+    # element_at inside the shingle lambda (see word_shingles doc)
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
+    sh = word_shingles(F.col("_toks"), shingle_n)
+    hashed = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shingles")
+    return toks.select("id", hashed).filter(F.size("shingles") > 0)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, shingle_n: int = 3
 ) -> DataFrame:
-    """id → (shingles, minhash signature array of length num_perm).
+    """Convenience wrapper: id → (shingles, sig). Prefer composing
+    shingle_sets + minhash_sigs with a persist between when the
+    shingle table feeds multiple stages."""
+    base = shingle_sets(df, id_col, text_col, shingle_n)
+    return base.join(minhash_sigs(base, num_perm), "id").select("id", "shingles", "sig")
 
-    perm_i(s) = xxhash64(i, s); signature[i] = min over shingles.
-    Computed as one codegen'd expression per row — no shuffle."""
-    sh = word_shingles(tokens(F.col(text_col)), shingle_n).alias("shingles")
-    base = df.select(F.col(id_col).alias("id"), sh).filter(F.size("shingles") > 0)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_perm)
-        ]
-    ).alias("sig")
-    return base.select("id", "shingles", sig)
+
+def minhash_sigs(base: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(id, shingles) → (id, sig array<long> of length num_perm).
+
+    The perm family is affine arithmetic in 31-bit space: perm_i(h) =
+    (a_i*(h&M) + b_i) & M with M=2^31-1, keeping products under 2^62
+    (no ANSI overflow). The mins are computed by exploding shingles
+    and hash-aggregating num_perm flat columns: per-element
+    higher-order lambdas cost ~10x more than codegen'd column
+    arithmetic (measured), and partial aggregation keeps the shuffle
+    at one num_perm-long row per id."""
+    M = 0x7FFFFFFF
+    ex = base.select("id", F.explode("shingles").alias("_h"))
+    h31 = F.col("_h").bitwiseAND(F.lit(M).cast("long"))
+
+    def perm(i: int):
+        a = (2654435761 * (2 * i + 1)) & M
+        b = (40503 * (i + 12345)) & M
+        return (F.lit(a).cast("long") * h31 + F.lit(b)).bitwiseAND(F.lit(M).cast("long"))
+
+    aggs = [F.min(perm(i)).alias(f"_m{i}") for i in range(num_perm)]
+    return (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:

@@ -41,10 +41,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify stage and the unit tests with planted near-duplicates).
 @query("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
+
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", num_perm=64)
+    # the shingle table feeds the sig computation and both sides of
+    # the verify join; the sig table feeds both sides of the band
+    # self-join — persist each so tokenization/hashing runs once
+    # (Spark ML's MinHashLSH caches the same way; spills at scale)
+    base = shingle_sets(docs, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_sigs(base, num_perm=64).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
-    return verify_pairs_jaccard(pairs, sigs, threshold=0.5).withColumnsRenamed(
+    return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(
         {"id_a": "doc_a", "id_b": "doc_b"}
     )
 
@@ -74,12 +83,12 @@ FROM sh a JOIN sh b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        word_shingles(tokens(F.col("text")), 3).alias("shingles"),
-    ).filter(F.size(tokens(F.col("text"))) >= 3)
+    toks = docs.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= 3)
+    sh = toks.select(
+        "doc_id", "lang", "source", word_shingles(F.col("_toks"), 3).alias("shingles")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -124,12 +133,18 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """,
 )
 def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.functions.vectorfn import cosine
+    from koalas_spark.functions.vectorfn import dot, norm_sq
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    # cast + norm once per row, BEFORE the pair join — the join then
+    # pays only the dot product per pair
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prep = emb.select("vec_id", "label", v.alias("_v"), norm_sq(v).alias("_n"))
+    a = prep.alias("a")
+    b = prep.alias("b")
+    cos = F.round(
+        dot(F.col("a._v"), F.col("b._v")) / F.sqrt(F.col("a._n") * F.col("b._n")), 6
+    )
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
