@@ -22,6 +22,35 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish sub-word segmentation: a GPT-2-style pre-tokenizer
+    approximation — contractions, letter runs, digit runs, punct runs,
+    each with optional leading space. Pure regexp_extract_all (codegen,
+    no Python); ASCII classes so Spark (Java regex) and DuckDB (RE2)
+    agree."""
+    return F.regexp_extract_all(
+        text, F.lit(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"), 0
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) of the normalized text:
+    acc = (acc*131 + byte) mod 2^31-1 over ASCII codes. Stays inside
+    whole-stage codegen via aggregate() over the char array; the
+    modulus keeps acc*131+255 < 2^63 so ANSI-mode bigint never
+    overflows. DuckDB twin: list_reduce over the same codes."""
+    codes = F.transform(F.split(normalize_text(text), ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * F.lit(131) + c, F.lit(2147483647)),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Whitespace-collapsed, lowercased content (dedup canonical form)."""
     return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))

@@ -90,6 +90,51 @@ def hyperplane_bucket(vec_col, num_planes: int = 8, dim: int = 64):
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (coarse quantizer, broadcast), then probes search only their own
+    cell. At 100 TB the assignment is one broadcast pass over the
+    corpus and the search shuffles on cell id — corpus never
+    self-joins. nprobe=1 here; recall/latency tunes by widening the
+    centroid ranking to rk <= nprobe."""
+    cents = _prep(centroids, id_col, vec_col, "cell")
+    base = _prep(corpus, id_col, vec_col, "neighbor_id")
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    cellmap = (
+        base.crossJoin(F.broadcast(cents))
+        .select("neighbor_id", "cell", _pair_cos("neighbor_id", "cell").alias("_cos"))
+        .withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select("neighbor_id", "cell")
+    )
+    corpus_c = base.join(cellmap, "neighbor_id")
+    probes_c = _prep(probes, id_col, vec_col, "probe_id").join(
+        cellmap.withColumnRenamed("neighbor_id", "probe_id"), "probe_id"
+    )
+    scored = (
+        corpus_c.join(F.broadcast(probes_c), "cell")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select("probe_id", "neighbor_id", _pair_cos("probe_id", "neighbor_id").alias("cos_sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def _bucketed(prepped: DataFrame, id_name: str, num_planes: int) -> DataFrame:
     """Attach the sign-bucket id via posexplode + hash-agg: flat
     codegen'd columns instead of per-element higher-order lambdas

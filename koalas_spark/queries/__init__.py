@@ -59,6 +59,15 @@ def _load() -> None:
     if _LOADED:
         return
     # import for registration side effects
-    from koalas_spark.queries import analytics, parity, text, dedup, similarity, multimodal, streaming  # noqa: F401
+    from koalas_spark.queries import (  # noqa: F401
+        analytics,
+        analytics2,
+        parity,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+        streaming,
+    )
 
     _LOADED = True

@@ -22,3 +22,15 @@ FROM events GROUP BY 1, 2
 )
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark, f"{sf_dir}/events.parquet", "1 hour", "1 hour")
+
+
+# 51. custom stateful streaming operator — per-user sessionization via
+# applyInPandasWithState (rows-only: emits closed sessions; the
+# trailing open session per user stays in state, so the driver's
+# SQL-equality check doesn't apply — tests assert the emitted rows are
+# a prefix of the batch sessionization).
+@query("stream_stateful_sessions", oracle=None)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.stateful import stream_sessionize
+
+    return stream_sessionize(spark, f"{sf_dir}/events.parquet")
