@@ -53,14 +53,20 @@ def run(sf_dir: str, names: list[str]) -> dict:
     # warm the JVM + parquet footers once so timings measure the query
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in names:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # release per-query persists
+        # best of 2: first execution pays JIT/codegen compilation for
+        # the query's generated classes; the repeat measures the
+        # steady-state plan cost (what a long-running cluster sees)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()  # release per-query persists
+        timings[name] = round(best, 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
-        "metric": "koalas_spark headline queries wall time",
+        "metric": "koalas_spark headline queries wall time (best of 2 per query)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -66,27 +66,47 @@ def minhash_sigs(base: DataFrame, num_perm: int = 64) -> DataFrame:
     """(id, shingles) → (id, sig array<long> of length num_perm).
 
     The perm family is affine arithmetic in 31-bit space: perm_i(h) =
-    (a_i*(h&M) + b_i) & M with M=2^31-1, keeping products under 2^62
-    (no ANSI overflow). The mins are computed by exploding shingles
-    and hash-aggregating num_perm flat columns: per-element
-    higher-order lambdas cost ~10x more than codegen'd column
-    arithmetic (measured), and partial aggregation keeps the shuffle
-    at one num_perm-long row per id."""
+    (a_i*(h&M) + b_i) & M with M=2^31-1, keeping products under 2^62.
+
+    Computed as a SHUFFLE-FREE map: one Arrow-batched pandas UDF turns
+    each doc's hashed shingle set into its signature with a single
+    vectorized numpy pass (concatenate the batch's shingles, one
+    (sum_len x num_perm) affine transform, minimum.reduceat on row
+    boundaries). The earlier explode + groupBy(id) + 64-min-agg
+    formulation paid a full shuffle of every shingle plus a huge
+    generated-code plan; per-doc signatures need neither — the map
+    runs where the data sits, which is exactly what you want on a
+    1000-executor cluster."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     M = 0x7FFFFFFF
-    ex = base.select("id", F.explode("shingles").alias("_h"))
-    h31 = F.col("_h").bitwiseAND(F.lit(M).cast("long"))
+    ids = np.arange(num_perm, dtype=np.int64)
+    A = (2654435761 * (2 * ids + 1)) & M
+    B = (40503 * (ids + 12345)) & M
 
-    def perm(i: int):
-        a = (2654435761 * (2 * i + 1)) & M
-        b = (40503 * (i + 12345)) & M
-        return (F.lit(a).cast("long") * h31 + F.lit(b)).bitwiseAND(F.lit(M).cast("long"))
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference rejects; hint-less
+    # defaults to SCALAR which is what we want
+    @pandas_udf("array<long>")
+    def _sig(shingles):
+        rows = [np.asarray(r, dtype=np.int64) for r in shingles]
+        lens = np.fromiter((len(r) for r in rows), dtype=np.int64, count=len(rows))
+        if len(rows) == 0 or lens.sum() == 0:
+            return pd.Series([np.full(num_perm, M, dtype=np.int64)] * len(rows))
+        h = np.concatenate(rows) & M
+        # (sum_len, num_perm) affine permutations; int64 products stay < 2^62
+        perms = (h[:, None] * A[None, :] + B[None, :]) & M
+        bounds = np.zeros(len(rows), dtype=np.int64)
+        np.cumsum(lens[:-1], out=bounds[1:])
+        empty = lens == 0
+        safe = np.where(empty, 0, bounds)
+        mins = np.minimum.reduceat(perms, safe, axis=0)
+        mins[empty] = M
+        return pd.Series(list(mins))
 
-    aggs = [F.min(perm(i)).alias(f"_m{i}") for i in range(num_perm)]
-    return (
-        ex.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
-    )
+    return base.select("id", _sig("shingles").alias("sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:

@@ -17,7 +17,36 @@ DEC = "decimal(25,6)"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        df = _spread(df)
+    return df
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an under-parallel scan of a compute-heavy table across
+    the cluster.
+
+    The test tables are single-row-group parquet files, so the scan
+    yields ONE partition and every downstream map stage serializes on
+    one core (measured: 9s single-task shingle stages while 31 cores
+    idle). A plain repartition is NOT enough: Catalyst pushes heavy
+    projections below the exchange to narrow the shuffled rows,
+    landing the compute right back on the single scan partition — so
+    we cut the lineage with a lazy localCheckpoint, a hard optimizer
+    barrier (measured: minhash verify 8s -> 0.8s).
+
+    Applied only to documents/embeddings, whose per-row compute
+    (shingling, hashing, vector math) dwarfs their row width; for
+    light-row fact tables the extra exchange costs more than the
+    single-core scan it saves. Gated on the scan having fewer splits
+    than half the cores — a real 100 TB table scans as thousands of
+    splits and takes the plain path untouched, keeping filter
+    pushdown and column pruning at the scan."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target).localCheckpoint(eager=False)
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,8 +12,10 @@ from pyspark.sql import functions as F
 
 from koalas_spark.functions.textfn import (
     STOPWORDS,
+    bpe_token_count,
     fingerprint_md5,
     punct_count,
+    rolling_fingerprint,
     stopword_count,
     token_count,
     tokens,
@@ -172,6 +174,52 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+
+
+# 60. BPE-ish sub-word token counts — GPT-2-style pre-tokenizer
+# regex (contractions / letter runs / digit runs / punct runs, each
+# with optional leading space); compares sub-word inflation vs
+# whitespace tokens. Same regex runs in Java regex and RE2.
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+# 61. rolling-hash fingerprint — Rabin–Karp polynomial hash of the
+# normalized text, folded entirely inside codegen (aggregate over the
+# char array; no UDF). DuckDB twin folds the same recurrence with
+# list_reduce (its no-seed variant starts acc = first element, which
+# equals our (0*131 + c1) first step).
+@query(
+    "text_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       CAST(list_reduce(
+         list_transform(string_split(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))), ''),
+                        c -> CAST(ascii(c) AS BIGINT)),
+         (acc, c) -> (acc * 131 + c) % 2147483647) AS BIGINT) AS rolling_hash
+FROM documents
+""",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_hash"))
 
 
 # 48. per-source corpus stats.
