@@ -62,6 +62,7 @@ def _load() -> None:
     from koalas_spark.queries import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         parity,
         text,
         dedup,

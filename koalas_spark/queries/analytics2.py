@@ -64,19 +64,22 @@ def word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# anti join — customers that never ordered (NOT EXISTS).
+# anti join — customers with no high-value order (NOT EXISTS; every
+# synthetic customer has SOME order, so the filtered build side keeps
+# the result non-empty and the check meaningful).
 @query(
     "anti_join_no_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 """,
 )
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

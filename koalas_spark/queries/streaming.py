@@ -24,6 +24,33 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_tumbling_counts(spark, f"{sf_dir}/events.parquet", "1 hour", "1 hour")
 
 
+# 62. stream-static join: events stream enriched with a static
+# per-user order-spend band (broadcast), aggregated per type x band.
+# Oracle: identical batch join in SQL — after processAllAvailable the
+# stream has seen exactly the full file, so results must be equal.
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT event_type, COALESCE(band, 'none') AS band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN (
+  SELECT o_custkey AS user_id,
+         CASE WHEN SUM(CAST(o_totalprice AS DECIMAL(25,6))) > 1000000
+              THEN 'big' ELSE 'small' END AS band
+  FROM orders GROUP BY o_custkey) p
+ON e.user_id = p.user_id
+GROUP BY event_type, COALESCE(band, 'none')
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.queries.analytics import _t
+    from koalas_spark.streaming.windows import stream_static_join_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    return stream_static_join_agg(spark, f"{sf_dir}/events.parquet", orders)
+
+
 # 51. custom stateful streaming operator — per-user sessionization via
 # applyInPandasWithState (rows-only: emits closed sessions; the
 # trailing open session per user stays in state, so the driver's

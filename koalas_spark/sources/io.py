@@ -75,3 +75,42 @@ def write_csv(
     """Distributed CSV sink (one file per partition; coalesce upstream
     if a single file is required — never collect to the driver)."""
     df.write.mode(mode).option("header", str(header).lower()).option("sep", sep).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """Newline-delimited JSON with an explicit schema.
+
+    Schema-on-read is mandatory: inferSchema on JSON double-scans the
+    data and silently widens types; at 100 TB both are unacceptable.
+    Fields absent from a record become null; extra fields are dropped
+    (permissive mode) — corrupt lines land in `_corrupt_record` if the
+    caller declares it."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed JSONL sink."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...],
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Hive-partitioned parquet sink: one directory level per
+    partition column, enabling partition pruning on read (a filter on
+    a partition column skips whole directories without touching file
+    footers). Choose low-cardinality columns; maxRecordsPerFile caps
+    file size so a skewed partition value still splits into
+    scan-parallel files."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

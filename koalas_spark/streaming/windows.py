@@ -52,21 +52,55 @@ def stream_tumbling_counts(
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
         )
     )
-    qname = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .start()
+    return _run_to_memory(
+        spark,
+        agg,
+        lambda t: t.select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        ),
     )
+
+
+def stream_static_join_agg(
+    spark: SparkSession, events_path: str, orders: DataFrame
+) -> DataFrame:
+    """Stream-static join: the event stream enriches against a static
+    dimension (per-user order profile), then aggregates per event_type
+    x spend band. The static side is re-read per micro-batch by the
+    engine; Spark broadcasts it under the join threshold, so the
+    stream side never shuffles — the canonical enrich-on-ingest shape.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stage = f"/root/repo/.tmp/stream_sj_{abs(hash(events_path)) % 10**8}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    src = spark.readStream.schema(schema).parquet(stage)
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    profile = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_spend")
+    ).select("user_id", F.when(F.col("_spend") > 1_000_000, "big").otherwise("small").alias("band"))
+    joined = src.join(F.broadcast(profile), "user_id", "left").fillna(
+        {"band": "none"}
+    )
+    agg = joined.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(spark, agg, lambda t: t, output_mode="complete")
+
+
+def _run_to_memory(spark, agg, project, output_mode: str = "complete") -> DataFrame:
+    qname = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
     try:
         q.processAllAvailable()
-        out = spark.table(qname).select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+        out = project(spark.table(qname))
         # materialize before stopping the query (memory sink is tied to it)
         result = spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
