@@ -41,8 +41,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "neardup_embedding",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_quality_score",
     "text_langid",
+    "q14_promo_revenue",
+    "q19_discount_revenue",
+    "word_count_topk",
+    "multimodal_frame_sample",
 ]
 
 

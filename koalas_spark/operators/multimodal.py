@@ -59,3 +59,62 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "blob").mapInPandas(op, schema=META_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 256,
+    stride: int = 4,
+) -> DataFrame:
+    """Sample every ``stride``-th fixed-size frame from each blob.
+
+    The video-pipeline shape: a payload splits into frames, a strided
+    subset is kept, each sampled frame gets a content hash. Entirely
+    JVM-side (sequence → explode → substring → sha2): the per-frame
+    fan-out happens AFTER partitioning, so a task only ever expands
+    its own rows — no shuffle, scales linearly with corpus bytes.
+    A real decoder replaces the byte-slice with ffmpeg frame extraction
+    inside mapInPandas; the row shape stays identical."""
+    nframes = F.ceil(F.length("blob") / F.lit(frame_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), nframes - 1, F.lit(stride))
+    out = (
+        df.select(id_col, "blob")
+        .filter(F.length("blob") > 0)
+        .withColumn("frame_no", F.explode(idx))
+    )
+    frame = F.expr(f"substring(blob, frame_no * {frame_bytes} + 1, {frame_bytes})")
+    return out.select(
+        id_col,
+        "frame_no",
+        F.length(frame).cast("long").alias("frame_len"),
+        F.sha2(frame, 256).alias("frame_sha"),
+    )
+
+
+def byte_histogram_features(
+    df: DataFrame, id_col: str = "doc_id", bins: int = 16
+) -> DataFrame:
+    """Fixed-width feature vector per blob via Arrow-batched
+    mapInPandas — the image-embedding pipeline shape (bytes in, float
+    vector out). The stand-in featurizer is a REAL computation (L1-
+    normalized histogram of byte values into ``bins`` buckets, numpy
+    vectorized per batch); a real deployment swaps in decode +
+    model inference per batch without touching the Spark plumbing."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["blob"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append(np.zeros(bins, dtype=np.float64))
+                    continue
+                hist = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                feats.append(hist / arr.size)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, "blob").mapInPandas(
+        op, schema="doc_id bigint, features array<double>"
+    )

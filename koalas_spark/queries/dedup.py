@@ -53,6 +53,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured at sf0.1: 9s cache build vs 0.5s recompute).
     base = shingle_sets(docs, "doc_id", "text")
     sigs = minhash_sigs(base, num_perm=64).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the cache NOW: the band self-join's two branches
+    # otherwise race the lazy persist and each runs the signature UDF
+    # from scratch (seen in SQL metrics as two ArrowEvalPython nodes)
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
     return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(
         {"id_a": "doc_a", "id_b": "doc_b"}

@@ -29,3 +29,39 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = extract_meta(blobbed, "doc_id")
     sha = blobbed.select("doc_id", F.sha2(F.col("blob"), 256).alias("sha"))
     return meta.join(sha, "doc_id")
+
+
+# 72. frame sampling — every 4th 256-byte frame per blob, content-
+# hashed. Oracle via char-based slicing: the corpus is pure ASCII
+# (asserted in tests), so DuckDB's substring(text)+sha256(varchar)
+# equals Spark's binary substring + sha2(binary).
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(CEIL(length(text) / 256.0) AS BIGINT), 4)) AS fno
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, CAST(fno AS INT) AS frame_no,
+       CAST(length(substring(text, CAST(fno*256+1 AS BIGINT), 256)) AS BIGINT) AS frame_len,
+       sha256(substring(text, CAST(fno*256+1 AS BIGINT), 256)) AS frame_sha
+FROM f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample(with_blob(docs, "text"), "doc_id", frame_bytes=256, stride=4)
+
+
+# 73. byte-histogram features — the image-embedding pipeline shape
+# (blob → fixed-width float vector) through Arrow mapInPandas.
+# Rows-only: the featurizer is numpy-side; unit tests recompute the
+# histograms independently and assert exact equality.
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import byte_histogram_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return byte_histogram_features(with_blob(docs, "text"), "doc_id", bins=16)
