@@ -63,6 +63,7 @@ def _load() -> None:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         parity,
         text,
         dedup,
