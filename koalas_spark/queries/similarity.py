@@ -1,4 +1,4 @@
-"""Similarity-search queries over the embeddings table (§2.4)."""
+"""Similarity-search / clustering queries over the embeddings table (§2.4)."""
 
 from __future__ import annotations
 
@@ -43,3 +43,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, probes, "vec_id", "embedding", k=5, num_planes=8, dim=64)
+
+
+# 80. distributed k-means (Lloyd) — iterative algorithm: broadcast
+# centroids, one map pass + one k-row shuffle per iteration, nothing
+# but the centroid matrix ever reaches the driver (rows-only: tests
+# assert exact agreement with an independent numpy implementation).
+@query("kmeans_clusters", oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.clustering import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=3)

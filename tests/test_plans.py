@@ -63,3 +63,44 @@ def test_asof_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q14_broadcasts_part(spark):
+    from koalas_spark.queries.analytics3 import q14_promo_revenue
+
+    plan = _plan(q14_promo_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # shipdate window filter pushed to the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_minhash_verify_broadcasts_pairs_not_corpus(spark):
+    """The verify join must broadcast the (tiny) candidate pairs and
+    stream the shingle table, never the reverse."""
+    from pyspark.sql import functions as F
+    from koalas_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_sigs,
+        shingle_sets,
+        verify_pairs_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = shingle_sets(docs, "doc_id", "text")
+    sigs = minhash_sigs(base, 32)
+    pairs = lsh_candidate_pairs(sigs, bands=8, rows=4)
+    ver = verify_pairs_jaccard(pairs, base, 0.5)
+    plan = _plan(ver)
+    # two broadcast joins (id_a, id_b), each building on the pairs side:
+    # the build side carries id_a/id_b, not the shingles column
+    assert plan.count("BroadcastHashJoin") >= 2
+    for chunk in plan.split("BroadcastExchange")[1:]:
+        head = chunk[:400]
+        assert "shingles" not in head.split("Input")[0]
+
+
+def test_ivf_broadcasts_centroids(spark):
+    from koalas_spark.queries.analytics2 import ann_ivf_topk
+
+    plan = _plan(ann_ivf_topk(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
