@@ -51,6 +51,24 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_agg(spark, f"{sf_dir}/events.parquet", orders)
 
 
+# 81. streaming dedup — dropDuplicatesWithinWatermark on event_id
+# (watermark-bounded id state); with a bounded source and unique ids
+# the result equals the plain batch aggregation, which is the oracle.
+@query(
+    "stream_dedup_agg",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events ORDER BY event_id) t
+GROUP BY event_type
+""",
+)
+def stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_dedup_events
+
+    return stream_dedup_events(spark, f"{sf_dir}/events.parquet")
+
+
 # 51. custom stateful streaming operator — per-user sessionization via
 # applyInPandasWithState (rows-only: emits closed sessions; the
 # trailing open session per user stays in state, so the driver's

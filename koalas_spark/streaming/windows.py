@@ -95,6 +95,40 @@ def stream_static_join_agg(
     return _run_to_memory(spark, agg, lambda t: t, output_mode="complete")
 
 
+def stream_dedup_events(
+    spark: SparkSession, events_path: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming ingest dedup: drop replayed events by event_id while
+    bounding state with a watermark (dropDuplicatesWithinWatermark
+    evicts ids older than the watermark — at-least-once sources replay
+    recent data, so recent ids are all that must be remembered). The
+    batch twin is a plain distinct-on-id aggregation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stage = f"/root/repo/.tmp/stream_dd_{abs(hash(events_path)) % 10**8}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    src = spark.readStream.schema(schema).parquet(stage)
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    # duplicate the stream against itself (union = replayed delivery)
+    deduped = (
+        src.select("event_id", "ts", "event_type", "value")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(spark, deduped, lambda t: t, output_mode="complete")
+
+
 def _run_to_memory(spark, agg, project, output_mode: str = "complete") -> DataFrame:
     qname = f"stream_out_{uuid.uuid4().hex[:8]}"
     q = agg.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()

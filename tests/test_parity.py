@@ -97,3 +97,17 @@ def test_csv_roundtrip(tmp_path, spark, df):
     back = KFrame.from_table(spark, path, SCHEMA, sep="\t")
     assert back.length() == 5
     assert sorted(r["pos"] for r in back.df.collect()) == [2, 2, 3, 6, 7]
+
+
+def test_from_table_index_skip(tmp_path, spark):
+    # dataframe.d:108 fromTable(fn, sep, indexCols=1, headerCols=1):
+    # leading index columns are dropped after the scan
+    p = tmp_path / "idx.tsv"
+    p.write_text("idx\tchrom\tpos\n0\t1\t2\n1\tq\t7\n")
+    from koalas_spark.sources.io import read_table
+
+    df = read_table(
+        spark, str(p), "chrom string, pos int", sep="\t", header=True, index_cols=1
+    )
+    assert df.columns == ["chrom", "pos"]
+    assert sorted((r.chrom, r.pos) for r in df.collect()) == [("1", 2), ("q", 7)]
