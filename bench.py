@@ -46,6 +46,9 @@ HEADLINE = [
     "text_langid",
     "q14_promo_revenue",
     "q19_discount_revenue",
+    "q9_product_profit",
+    "q13_cust_order_dist",
+    "q21_waiting_supplier",
     "word_count_topk",
     "multimodal_frame_sample",
 ]
@@ -57,6 +60,18 @@ def run(sf_dir: str, names: list[str]) -> dict:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so timings measure the query
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Arrow python-UDF workers too: the first pandas_udf
+    # execution pays worker spawn + numpy/pandas import (~6s across 32
+    # workers), which is session setup, not query cost
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000, numPartitions=64).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     for name in names:
         # best of 2: first execution pays JIT/codegen compilation for
         # the query's generated classes; the repeat measures the

@@ -64,6 +64,7 @@ def _load() -> None:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         parity,
         text,
         dedup,

@@ -14,13 +14,27 @@ from pyspark.sql import functions as F
 DEC = "decimal(25,6)"
 
 
+_SPREAD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
     if name in ("documents", "embeddings"):
-        df = _spread(df)
-    return df
+        # memoize the spread (checkpointed) scan per session+path: each
+        # localCheckpoint pins blocks until the ContextCleaner runs, so
+        # re-deriving it per query call leaks block-manager memory
+        # across a bench run and the eviction churn shows up as
+        # multi-second timing noise on the compute-heavy pipelines
+        key = (id(spark), path)
+        got = _SPREAD_CACHE.get(key)
+        if got is not None:
+            return got
+        df = _spread(spark.read.parquet(path))
+        _SPREAD_CACHE[key] = df
+        return df
+    return spark.read.parquet(path)
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -41,22 +41,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verify stage and the unit tests with planted near-duplicates).
 @query("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    # Persist ONLY the signature table (one short row per doc; feeds
-    # both sides of the band self-join). The shingle table is NOT
-    # persisted: columnar-caching array columns costs ~20x more than
-    # recomputing the shingles at the two verify-join consumers
-    # (measured at sf0.1: 9s cache build vs 0.5s recompute).
-    base = shingle_sets(docs, "doc_id", "text")
-    sigs = minhash_sigs(base, num_perm=64).persist(StorageLevel.MEMORY_AND_DISK)
-    # materialize the cache NOW: the band self-join's two branches
-    # otherwise race the lazy persist and each runs the signature UDF
-    # from scratch (seen in SQL metrics as two ArrowEvalPython nodes)
-    sigs.count()
+    # Materialize shingles and signatures ONCE each with an eager
+    # localCheckpoint (row-serialized block storage). Both tables feed
+    # multiple consumers — shingles the two verify joins, signatures
+    # the two band-join branches — and checkpointing beats the
+    # alternatives measured at sf0.1: columnar .persist() of the
+    # array columns pays a ~20x cache-build cost (9s vs 0.5s
+    # recompute), while no-reuse recomputes the Arrow UDF per branch
+    # (6.7-9.4s pipeline vs 2.0-2.6s checkpointed). At cluster scale
+    # the same blocks live on executor memory+disk; the lineage cut
+    # trades recompute-on-failure for never paying the shingle pass
+    # twice, the right trade for a short-lived dedup table.
+    base = shingle_sets(docs, "doc_id", "text").localCheckpoint(eager=True)
+    sigs = minhash_sigs(base, num_perm=64).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
     return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(
         {"id_a": "doc_a", "id_b": "doc_b"}
