@@ -66,6 +66,7 @@ def _load() -> None:
         analytics4,
         analytics5,
         parity,
+        pipeline,
         text,
         dedup,
         similarity,

@@ -1,0 +1,169 @@
+"""Training-data pipeline operators (SURVEY.md §2.8): deterministic
+stratified sampling, train/test splitting, benchmark-contamination
+detection, and token-diversity quality stats over the documents table.
+
+All sampling here is HASH-based, never rand(): a training pipeline
+must produce the same sample on re-run, across engines, and across
+partitionings — md5 of the stable doc_id gives a uniform, portable,
+seedless coin. (Spark's sample()/sampleBy() are seed-dependent on
+partition layout, so they can't be oracle-checked and silently
+resample when upstream repartitions — exactly what a 100 TB pipeline
+must not do between checkpoint and resume.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+
+
+def _coin(col) -> F.Column:
+    """Uniform 16-bit hex coin in ['0000','ffff') from a stable id —
+    identical in Spark and DuckDB (md5 hex is lowercase in both)."""
+    return F.substring(F.md5(col.cast("string")), 1, 4)
+
+
+# --------------------------------------------------------------------
+# 93. deterministic stratified sampling — per-language fractions
+# (en is over-represented in the corpus, so it's downsampled 10% vs
+# 30% for the rest). Pure per-row predicate: no shuffle, pushes to the
+# scan, trivially reproducible on any cluster layout.
+@query(
+    "stratified_sample_stable",
+    oracle="""
+SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '199a' ELSE '4ccd' END
+GROUP BY lang
+""",
+)
+def stratified_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", "199a").otherwise("4ccd")
+    return (
+        d.filter(_coin(F.col("doc_id")) < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 94. deterministic train/test split — 80/20 by hash range. The split
+# column is a pure function of doc_id, so shards can be written by
+# independent executors with no coordination and the assignment
+# survives re-runs and repartitions.
+@query(
+    "train_test_split_stable",
+    oracle="""
+SELECT lang, split, COUNT(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents) t
+GROUP BY lang, split
+""",
+)
+def train_test_split_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(_coin(F.col("doc_id")) < "cccd", "train").otherwise("test")
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------
+# 95. benchmark contamination check — corpus docs sharing any word
+# 5-gram with a "benchmark" probe set (deterministically doc_id%97=0
+# here; in production the probe is the eval suite). The probe side is
+# tiny by construction, so its exploded gram table BROADCASTS and the
+# corpus side streams one pass — the plan that still works when the
+# corpus is 100 TB. Gram identity travels as an 8-byte xxhash64, not
+# the gram text.
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH grams AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, GREATEST(LEN(toks) - 3, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4])) AS gs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 5),
+probe AS (SELECT doc_id AS probe_id, gs FROM grams WHERE doc_id % 97 = 0)
+SELECT g.doc_id, COUNT(DISTINCT probe_id) AS n_probe_hits
+FROM grams g JOIN probe p
+  ON g.doc_id <> p.probe_id AND list_has_any(g.gs, p.gs)
+GROUP BY g.doc_id
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("_toks")).filter(
+        F.size("_toks") >= 5
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col("_toks"), 5), lambda s: F.xxhash64(s))
+            )
+        ).alias("gh"),
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .withColumnsRenamed({"doc_id": "probe_id"})
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(probe), "gh")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("probe_id").alias("n_probe_hits"))
+    )
+
+
+# --------------------------------------------------------------------
+# 96. token diversity — repetition-quality stat: distinct vs total
+# tokens per language. Sums of exact integers (not a mean of per-doc
+# doubles), so the cross-engine comparison is exact; the ratio is one
+# deterministic double division at the end.
+@query(
+    "token_diversity",
+    oracle="""
+SELECT lang,
+       CAST(SUM(LEN(list_distinct(toks))) AS BIGINT) AS distinct_tokens,
+       CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(LEN(list_distinct(toks))) AS DOUBLE)
+            / SUM(LEN(toks)) AS DOUBLE) AS diversity
+FROM (SELECT lang, string_split_regex(TRIM(text), '\\s+') AS toks
+      FROM documents) t
+GROUP BY lang
+""",
+)
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("_d"),
+        F.size(tokens(F.col("text"))).alias("_t"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("_d").cast("bigint").alias("distinct_tokens"),
+        F.sum("_t").cast("bigint").alias("total_tokens"),
+        (F.sum("_d").cast("double") / F.sum("_t")).cast("double").alias("diversity"),
+    )

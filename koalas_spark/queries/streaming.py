@@ -69,6 +69,27 @@ def stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_events(spark, f"{sf_dir}/events.parquet")
 
 
+# 97. stream-stream interval join — click→purchase attribution within
+# 30 minutes, per user. Inner join + two-sided event-time bound means
+# state is watermark-evicted; on a bounded source the result equals
+# the batch self-join, which is the oracle.
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY a.user_id
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_stream_interval_join
+
+    return stream_stream_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
 # 51. custom stateful streaming operator — per-user sessionization via
 # applyInPandasWithState (rows-only: emits closed sessions; the
 # trailing open session per user stays in state, so the driver's

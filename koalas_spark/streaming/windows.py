@@ -16,6 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _staged_events_stream(
+    spark: SparkSession, events_path: str, prefix: str
+) -> DataFrame:
+    """readStream over a single (read-only) parquet file: the file
+    streaming source monitors a directory, so the input is staged
+    behind a symlink dir. Normalizes TIMESTAMP(NANOS) ts to micros
+    (same truncation DuckDB applies, so oracles agree)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stage = f"/root/repo/.tmp/stream_{prefix}_{abs(hash(events_path)) % 10**8}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    src = spark.readStream.schema(schema).parquet(stage)
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        src = src.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return src
+
+
 def stream_tumbling_counts(
     spark: SparkSession,
     events_path: str,
@@ -29,21 +53,7 @@ def stream_tumbling_counts(
     Uses update-free 'complete' mode into a memory sink (fine for the
     low-cardinality window×type state; production sinks use append +
     watermark eviction via foreachBatch)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    # the file streaming source wants a directory to monitor; stage the
-    # (read-only) input file behind a symlink dir
-    stage = f"/root/repo/.tmp/stream_{abs(hash(events_path)) % 10**8}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
-    src = spark.readStream.schema(schema).parquet(stage)
-    from pyspark.sql import types as T
-
-    if isinstance(schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long; truncate to micros
-        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    src = _staged_events_stream(spark, events_path, "tw")
     agg = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -70,18 +80,7 @@ def stream_static_join_agg(
     engine; Spark broadcasts it under the join threshold, so the
     stream side never shuffles — the canonical enrich-on-ingest shape.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    stage = f"/root/repo/.tmp/stream_sj_{abs(hash(events_path)) % 10**8}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
-    src = spark.readStream.schema(schema).parquet(stage)
-    from pyspark.sql import types as T
-
-    if isinstance(schema["ts"].dataType, T.LongType):
-        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    src = _staged_events_stream(spark, events_path, "sj")
     profile = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_spend")
     ).select("user_id", F.when(F.col("_spend") > 1_000_000, "big").otherwise("small").alias("band"))
@@ -103,18 +102,7 @@ def stream_dedup_events(
     evicts ids older than the watermark — at-least-once sources replay
     recent data, so recent ids are all that must be remembered). The
     batch twin is a plain distinct-on-id aggregation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    stage = f"/root/repo/.tmp/stream_dd_{abs(hash(events_path)) % 10**8}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
-    src = spark.readStream.schema(schema).parquet(stage)
-    from pyspark.sql import types as T
-
-    if isinstance(schema["ts"].dataType, T.LongType):
-        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    src = _staged_events_stream(spark, events_path, "dd")
     # duplicate the stream against itself (union = replayed delivery)
     deduped = (
         src.select("event_id", "ts", "event_type", "value")
@@ -127,6 +115,47 @@ def stream_dedup_events(
         )
     )
     return _run_to_memory(spark, deduped, lambda t: t, output_mode="complete")
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: click events matched to the
+    same user's purchase events within ``gap`` after the click.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides, so the state store provably evicts rows older
+    than watermark+gap — the requirement for an unbounded run. Inner
+    matches emit as soon as both rows arrive (append mode); the
+    watermark governs state cleanup, not emission, so a bounded source
+    yields the complete batch-equal result. The memory-sink result is
+    then batch-aggregated per user for a stable comparison."""
+    src = _staged_events_stream(spark, events_path, "ssj")
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {gap}"),
+    )
+    return _run_to_memory(
+        spark,
+        joined,
+        lambda t: t.groupBy(F.col("c_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        ),
+        output_mode="append",
+    )
 
 
 def _run_to_memory(spark, agg, project, output_mode: str = "complete") -> DataFrame:
