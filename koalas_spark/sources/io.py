@@ -95,6 +95,17 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (JVM-native, vectorized, predicate pushdown + column
+    pruning like parquet — the interchange format for Hive-era lakes)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed ORC sink."""
+    df.write.mode(mode).orc(path)
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

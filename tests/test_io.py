@@ -30,6 +30,31 @@ def test_jsonl_roundtrip(spark):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_orc_roundtrip_pushdown(spark):
+    from koalas_spark.sources.io import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = f"{TMP}/docs_orc"
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    a = {(r.doc_id, r.lang, r.n_chars) for r in docs.collect()}
+    b = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+    assert a == b
+    # filters push into the ORC scan like parquet
+    plan = (
+        back.filter(F.col("lang") == "en")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: []" not in plan and "lang" in plan
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_partitioned_parquet_prunes(spark):
     from koalas_spark.sources.io import write_parquet_partitioned
 
