@@ -65,6 +65,7 @@ def _load() -> None:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         parity,
         pipeline,
         text,

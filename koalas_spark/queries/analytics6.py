@@ -1,0 +1,331 @@
+"""Event-analytics suite (SURVEY.md §2.2 §100-106): ordered funnel,
+retention cohorts, native session windows, first-touch attribution,
+GROUPING SETS, value histograms, and CDC latest-state compaction.
+
+Reference parity: these extend the groupby/sort/window family of
+`groupby.d` / `index.d` (sort-based grouping, `dataframe.d:177 sort`)
+to the event-log shapes a production pipeline actually runs. Every
+query keys its shuffles on `user_id`/`o_custkey` so consecutive
+window + agg stages reuse ONE exchange (Catalyst collapses same-key
+windows into a single sort), and per-row math stays in whole-stage
+codegen — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import DEC, _t
+
+
+# --------------------------------------------------------------------
+# 100. ordered conversion funnel view -> click -> purchase. A click
+# counts only if a view happened STRICTLY before it; a purchase only
+# if a qualifying click happened strictly before it. One shuffle on
+# user_id; the two chained "earliest qualifying prior event" passes
+# are range-frame window minimums over the SAME (user_id, ts) sort,
+# so Catalyst plans a single exchange + single sort; strictness rides
+# on microsecond epochs (exact in both engines, no same-second ties).
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS tc
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.tv
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+  GROUP BY e.user_id)
+SELECT stage, n_users FROM (
+  SELECT 1 AS ord, 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+  UNION ALL
+  SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p)) t
+ORDER BY ord
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(
+        before
+    )
+    staged = ev.withColumn("first_view", first_view)
+    click_ok = (F.col("event_type") == "click") & F.col("first_view").isNotNull()
+    first_click = F.min(F.when(click_ok, F.col("us"))).over(before)
+    staged = staged.withColumn("first_click", first_click)
+    purchase_ok = (F.col("event_type") == "purchase") & F.col(
+        "first_click"
+    ).isNotNull()
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "view").alias("has_view"),
+        F.max(click_ok).alias("has_click"),
+        F.max(purchase_ok).alias("has_purchase"),
+    )
+    counts = per_user.agg(
+        F.sum(F.col("has_view").cast("long")).alias("n_view"),
+        F.sum(F.col("has_click").cast("long")).alias("n_click"),
+        F.sum(F.col("has_purchase").cast("long")).alias("n_purchase"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("ord"), F.lit("view").alias("stage"), F.col("n_view").alias("n_users")),
+        F.struct(F.lit(2).alias("ord"), F.lit("click_after_view").alias("stage"), F.col("n_click").alias("n_users")),
+        F.struct(F.lit(3).alias("ord"), F.lit("purchase_after_click").alias("stage"), F.col("n_purchase").alias("n_users")),
+    )
+    return (
+        counts.select(F.explode(stages).alias("s"))
+        .select("s.ord", "s.stage", "s.n_users")
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )
+
+
+# --------------------------------------------------------------------
+# 101. retention cohorts — users bucketed by ISO week of their first
+# event; activity counted per (cohort_week, weeks_since). The cohort
+# assignment is a window min over the same user_id partitioning the
+# final agg shuffles on. Distinct-user counts are exact (hash agg).
+@query(
+    "retention_cohorts",
+    oracle="""
+SELECT cohort_week, CAST(datediff('day', cohort_week, active_week) // 7 AS INT)
+         AS weeks_since,
+       COUNT(DISTINCT user_id) AS n_active
+FROM (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS DATE)
+           AS cohort_week,
+         CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events) t
+GROUP BY cohort_week, weeks_since
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w)).cast("date")
+    active = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.withColumn("cohort_week", cohort)
+        .withColumn("active_week", active)
+        .withColumn(
+            "weeks_since",
+            F.floor(F.datediff("active_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------
+# 102. native session windows — Spark's built-in session_window
+# operator (30-min inactivity gap) instead of the hand-rolled
+# lag+cumsum of §32; same one-shuffle-on-user_id plan but the session
+# merge runs inside the JVM aggregate, and the identical groupBy works
+# unchanged under Structured Streaming. Spark sessions span
+# [first_ts, last_ts + gap); an event landing exactly at the close
+# boundary starts a NEW session, hence >= in the oracle.
+@query(
+    "session_window_native",
+    oracle="""
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events) a) b
+GROUP BY user_id, sid
+""",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 103. first-touch attribution — each user's revenue credited to the
+# event_type of their FIRST event (ts then event_id tie-break, fully
+# deterministic). Both the first-touch window and the revenue agg
+# shuffle on user_id, so the join between them is co-partitioned:
+# Catalyst reuses the exchange instead of re-shuffling either side.
+@query(
+    "first_touch_attribution",
+    oracle="""
+WITH first_touch AS (
+  SELECT user_id, event_type AS channel
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+    FROM events) t
+  WHERE rk = 1),
+rev AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT channel, COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN COALESCE(r.revenue, 0) > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchasers,
+       CAST(SUM(CAST(COALESCE(r.revenue, 0) AS DECIMAL(25,6))) AS DOUBLE)
+         AS attributed_revenue
+FROM first_touch f LEFT JOIN rev r ON f.user_id = r.user_id
+GROUP BY channel
+""",
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("revenue"))
+    )
+    joined = first_touch.join(rev, "user_id", "left").select(
+        "channel", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
+    )
+    return joined.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("revenue") > 0).cast("long")).alias("n_purchasers"),
+        F.sum(F.col("revenue").cast(DEC)).cast("double").alias("attributed_revenue"),
+    )
+
+
+# --------------------------------------------------------------------
+# 104. explicit GROUPING SETS — ((returnflag), (linestatus), ()) in a
+# single pass, distinct from rollup/cube (§29/§30): Spark expands the
+# sets map-side and partially aggregates each, so the shuffle carries
+# |sets| x |groups| rows, never the fact table. grouping_id
+# disambiguates the NULL produced by set expansion from a NULL key.
+@query(
+    "grouping_sets_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+# --------------------------------------------------------------------
+# 105. value histogram — fixed-width 50-unit buckets per event_type,
+# pure integer floor arithmetic (no width_bucket: identical semantics
+# hand-rolled portably). Per-row bucketing is codegen'd; the agg is a
+# partial-combine groupBy on (event_type, bucket) — tiny shuffle.
+@query(
+    "value_histogram",
+    oracle="""
+SELECT event_type, CAST(FLOOR(value / 50) AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, bucket
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 50).cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 106. CDC latest-state compaction — collapse an append-only changelog
+# (orders as per-customer updates) to each key's newest record, the
+# MERGE/upsert pattern every incremental pipeline runs. row_number
+# over (key, recency desc) then rk=1: one shuffle on the key, and
+# Spark 3.5+ pushes a WindowGroupLimit below the sort so each
+# partition keeps only its top row instead of sorting all history.
+@query(
+    "cdc_upsert_compact",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS latest_price_sum
+FROM (
+  SELECT o_custkey, o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM orders) t
+WHERE rk = 1
+GROUP BY o_orderstatus
+""",
+)
+def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .cast("double")
+        .alias("latest_price_sum"),
+    )

@@ -256,3 +256,82 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid"),
     )
+
+
+# --------------------------------------------------------------------
+# 107. corpus length histogram — 100-char buckets per language, the
+# standard pre-training length-distribution audit. Pure integer floor
+# per row (codegen), partial-agg shuffle of |langs| x |buckets| rows.
+@query(
+    "doc_length_histogram",
+    oracle="""
+SELECT lang, CAST(n_chars // 100 AS INT) AS bucket, COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang, bucket
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("bucket", F.floor(F.col("n_chars") / 100).cast("int"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 108. embedding norm audit — per-label L2-norm stats, the cheap
+# detector for broken encoder batches (norm collapse / blow-up).
+# Per-row squared norm folds over integer-scaled components
+# (trunc(x * 2^20) — float->double exact, so the bigint dot product
+# is bit-identical across engines); sqrt of identical bigints is an
+# identical double, and the group mean goes through decimal summation.
+# One codegen map pass + a |labels|-row shuffle — no explode.
+@query(
+    "embedding_norm_stats",
+    oracle="""
+SELECT label, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(nrm AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+         AS DOUBLE) AS avg_norm,
+       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(CAST(list_sum(list_transform(embedding,
+                x -> CAST(trunc(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                     * CAST(trunc(CAST(x AS DOUBLE) * 1048576) AS BIGINT)))
+              AS DOUBLE)) / 1048576.0 AS nrm
+  FROM embeddings) t
+GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    sv = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") * 1048576).cast("bigint"),
+    )
+    sq = F.aggregate(
+        F.zip_with(sv, sv, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(sq.cast("double")) / 1048576.0
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
