@@ -104,3 +104,44 @@ def test_ivf_broadcasts_centroids(spark):
 
     plan = _plan(ann_ivf_topk(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _simple(df) -> str:
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")  # noqa: SLF001
+
+
+def test_funnel_single_user_shuffle(spark):
+    """Chained funnel windows + per-user agg must share ONE exchange on
+    user_id — the property that keeps the funnel a single pass at 100 TB."""
+    from koalas_spark.queries.analytics6 import funnel_conversion
+
+    plan = _simple(funnel_conversion(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_compact_window_group_limit(spark):
+    """rk=1 must push a partial WindowGroupLimit below the shuffle so
+    each map task ships one row per key, not the whole history."""
+    from koalas_spark.queries.analytics6 import cdc_upsert_compact
+
+    plan = _simple(cdc_upsert_compact(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[2][:200]
+
+
+def test_grouping_sets_partial_agg(spark):
+    """GROUPING SETS must expand map-side with partial aggregation —
+    the shuffle carries |sets| x |groups| rows, never the fact table."""
+    from koalas_spark.queries.analytics6 import grouping_sets_agg
+
+    plan = _simple(grouping_sets_agg(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert "partial_" in plan
+
+
+def test_session_window_single_shuffle(spark):
+    from koalas_spark.queries.analytics6 import session_window_native
+
+    plan = _simple(session_window_native(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
