@@ -66,6 +66,7 @@ def _load() -> None:
         analytics4,
         analytics5,
         analytics6,
+        corpus,
         parity,
         pipeline,
         text,

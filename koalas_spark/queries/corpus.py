@@ -1,0 +1,181 @@
+"""Corpus-index operators (SURVEY.md §2.5/§2.3 extension): TF-IDF
+scoring, inverted-index construction, and connected-components dup
+clustering — the retrieval/dedup layer of a training-data pipeline.
+
+Cross-engine determinism: idf uses an integer-scaled rational
+(N*1e6 div df) instead of ln() — libm log is not required to be
+correctly rounded, so JVM vs DuckDB could differ in the last ulp;
+integer division cannot. Posting lists compare as sorted arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+from koalas_spark.functions.textfn import tokens, word_shingles
+
+
+# --------------------------------------------------------------------
+# 109. TF-IDF top terms per language. Term frequencies partial-agg on
+# (lang, term); df on term; N broadcasts as a 1-row frame. The final
+# per-lang top-3 is a WindowGroupLimit rank (each partition ships 3
+# rows, not its vocabulary). Score = tf * (N*1e6 div df): exact
+# integers end-to-end.
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(TRIM(text), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, df.df,
+         tf.tf * ((n.n * 1000000) // df.df) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT lang, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score DESC, term) AS rk
+  FROM scored) t
+WHERE rk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.expr("(n * 1000000) div df"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "term", "tf", "df", "score")
+    )
+
+
+# --------------------------------------------------------------------
+# 110. inverted index — token -> (df, total_tf, sorted posting list).
+# One explode + one groupBy(token): postings build as collect_set
+# (map-side combine dedups per-partition before the shuffle) and sort
+# once per group. At 100 TB posting lists for stopword-grade terms
+# get hot; the real mitigation is posting-list sharding by
+# (token, doc_id range) — here vocabulary is bounded so one group per
+# token is the right plan.
+@query(
+    "inverted_index",
+    oracle="""
+SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+       list_sort(list(DISTINCT doc_id)) AS postings
+FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+      FROM documents) t
+GROUP BY token
+""",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+# --------------------------------------------------------------------
+# 111. near-dup clustering — lang-blocked 3-gram Jaccard >= 0.25
+# pairs, then distributed connected components (operators/graph.py),
+# then one row per dup cluster with the canonical (min) doc id. This
+# is the full dedup decision: pair detection alone over-deletes when
+# A~B and B~C but A!~C — clustering keeps ONE doc per transitive
+# group. Oracle: recursive-CTE min-label propagation (the min label
+# always reaches every member because no intermediate node is smaller
+# than the component minimum).
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+             range(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 3),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+             AS DOUBLE)
+        / (LEN(a.shingles) + LEN(b.shingles)
+           - LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x))))
+        >= 0.25),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+lp AS (
+  WITH RECURSIVE walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.src, walk.lbl FROM edges e JOIN walk ON walk.node = e.dst
+    WHERE walk.lbl < e.src)
+  SELECT node, MIN(lbl) AS comp FROM walk GROUP BY node)
+SELECT comp AS canonical_id, COUNT(*) AS n_docs,
+       list_sort(list(node)) AS members
+FROM lp GROUP BY comp HAVING COUNT(*) >= 2
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("_toks")).filter(
+        F.size("_toks") >= 3
+    )
+    # hashed shingles: 8-byte longs in every pairwise intersect
+    # (Jaccard value unchanged whp; the oracle computes on strings)
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.transform(word_shingles(F.col("_toks"), 3), lambda s: F.xxhash64(s)).alias(
+            "shingles"
+        ),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    uni = (
+        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter((inter.cast("double") / uni) >= 0.25)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("comp").alias("canonical_id"),
+            "n_docs",
+            "members",
+        )
+    )
