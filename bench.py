@@ -51,6 +51,11 @@ HEADLINE = [
     "q21_waiting_supplier",
     "word_count_topk",
     "multimodal_frame_sample",
+    "funnel_conversion",
+    "session_window_native",
+    "cdc_upsert_compact",
+    "tfidf_top_terms",
+    "dedup_cluster_canonical",
 ]
 
 
@@ -82,7 +87,7 @@ def run(sf_dir: str, names: list[str]) -> dict:
         # throttled sample measures the hypervisor, not the plan.
         best = float("inf")
         tries = 0
-        while tries < 2 or (best > 3.0 and tries < 4):
+        while tries < 2 or (best > 1.5 and tries < 4):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -100,3 +100,33 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.stateful import stream_sessionize
 
     return stream_sessionize(spark, f"{sf_dir}/events.parquet")
+
+
+# 112. streaming session windows — the batch session definition
+# (#102) executed by the streaming engine via the same native
+# session_window groupBy; oracle shared with the batch query.
+@query(
+    "stream_session_agg",
+    oracle="""
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events) a) b
+GROUP BY user_id, sid
+""",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_session_counts
+
+    return stream_session_counts(spark, f"{sf_dir}/events.parquet")

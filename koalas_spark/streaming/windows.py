@@ -169,3 +169,34 @@ def _run_to_memory(spark, agg, project, output_mode: str = "complete") -> DataFr
     finally:
         q.stop()
     return result
+
+def stream_session_counts(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session aggregation through the STREAMING engine using
+    the native session_window operator — the same groupBy as the batch
+    query (session_window_native) runs unchanged here, which is the
+    point: one definition of "session" for backfill and ingest. State
+    is per open session and watermark-evicted; complete mode into a
+    memory sink locally (bounded source), append + watermark in
+    production sinks."""
+    src = _staged_events_stream(spark, events_path, "sw")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_to_memory(
+        spark,
+        agg,
+        lambda t: t.select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        ),
+        output_mode="complete",
+    )
