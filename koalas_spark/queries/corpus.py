@@ -143,25 +143,44 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_toks") >= 3
     )
     # hashed shingles: 8-byte longs in every pairwise intersect
-    # (Jaccard value unchanged whp; the oracle computes on strings)
+    # (Jaccard value unchanged whp; the oracle computes on strings).
+    # The self-join is salted G ways — a plain lang-equality join
+    # would run as |langs| tasks (5 here), pinning the quadratic
+    # block work on 5 cores; bucketing the right side and replicating
+    # the left spreads each block over G reducers.
+    G = 8
     sh = toks.select(
         "doc_id",
         "lang",
         F.transform(word_shingles(F.col("_toks"), 3), lambda s: F.xxhash64(s)).alias(
             "shingles"
         ),
+        F.pmod(F.xxhash64("doc_id"), F.lit(G)).alias("_bkt"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    a = sh.withColumn(
+        "_tb", F.explode(F.array(*[F.lit(g) for g in range(G)]))
+    ).alias("a")
+    b = sh.alias("b")
     inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
     uni = (
         F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    )
+    # size-ratio prefilter implied by J >= t: J <= min/max sizes, so
+    # min >= t*max is necessary — a long comparison that skips the
+    # array intersect for most pairs (result set unchanged; the
+    # oracle needs no twin for an implied predicate)
+    sz_ok = (
+        F.least(F.size("a.shingles"), F.size("b.shingles")).cast("double")
+        >= 0.25 * F.greatest(F.size("a.shingles"), F.size("b.shingles"))
     )
     pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a._tb") == F.col("b._bkt"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(sz_ok)
         .filter((inter.cast("double") / uni) >= 0.25)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
