@@ -329,3 +329,126 @@ def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("latest_price_sum"),
     )
+
+
+# --------------------------------------------------------------------
+# 113. full-outer reconciliation — order revenue vs purchase-event
+# revenue per calendar day; days present on either side survive with
+# zero-filled gaps. Both sides pre-aggregate to |days| rows BEFORE
+# the full-outer join, so the join input is bounded by the calendar,
+# not the fact tables.
+@query(
+    "full_outer_reconciliation",
+    oracle="""
+WITH o AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS order_rev
+  FROM orders GROUP BY day),
+e AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS event_rev
+  FROM events WHERE event_type = 'purchase' GROUP BY day)
+SELECT COALESCE(o.day, e.day) AS day,
+       COALESCE(order_rev, 0) AS order_rev,
+       COALESCE(event_rev, 0) AS event_rev,
+       CASE WHEN o.day IS NULL THEN 'event_only'
+            WHEN e.day IS NULL THEN 'order_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN e ON o.day = e.day
+""",
+)
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("order_rev")
+        )
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("event_rev"))
+    )
+    oj = o.alias("o").join(e.alias("e"), F.col("o.day") == F.col("e.day"), "outer")
+    return oj.select(
+        F.coalesce("o.day", "e.day").alias("day"),
+        F.coalesce("order_rev", F.lit(0.0)).alias("order_rev"),
+        F.coalesce("event_rev", F.lit(0.0)).alias("event_rev"),
+        F.when(F.col("o.day").isNull(), "event_only")
+        .when(F.col("e.day").isNull(), "order_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# --------------------------------------------------------------------
+# 114. multiset difference — parts shipped in 1997 EXCEPT ALL parts
+# shipped in 1998: each part key survives (count_1997 - count_1998)
+# times, the multiset semantics distinct() loses. Spark plans this as
+# one hash aggregate with count subtraction + generate — no join.
+@query(
+    "set_except_all",
+    oracle="""
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+EXCEPT ALL
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    y97 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    y98 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("l_partkey")
+    return y97.exceptAll(y98)
+
+
+# --------------------------------------------------------------------
+# 115. null-safe join — priority classes with '1-URGENT' nulled out on
+# both sides, joined with <=> (IS NOT DISTINCT FROM): the NULL group
+# matches itself, which a plain equi-join silently drops. Exercises
+# Spark's EqualNullSafe join key (still hash-partitionable — NULL
+# hashes to a regular bucket, no skew surprise).
+@query(
+    "null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS pclass, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT NULLIF(o_orderpriority, '1-URGENT') AS pclass,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+              / COUNT(*) AS DOUBLE) AS avg_price
+  FROM orders GROUP BY 1)
+SELECT a.pclass, n_orders, avg_price
+FROM a JOIN b ON a.pclass IS NOT DISTINCT FROM b.pclass
+""",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pclass = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pclass")
+    a = o.select(pclass).groupBy("pclass").agg(F.count(F.lit(1)).alias("n_orders"))
+    b = (
+        o.select(pclass, "o_totalprice")
+        .groupBy("pclass")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("avg_price")
+        )
+    )
+    return a.join(
+        b.withColumnRenamed("pclass", "pclass_b"),
+        a["pclass"].eqNullSafe(F.col("pclass_b")),
+    ).select("pclass", "n_orders", "avg_price")
