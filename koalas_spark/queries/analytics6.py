@@ -452,3 +452,35 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.withColumnRenamed("pclass", "pclass_b"),
         a["pclass"].eqNullSafe(F.col("pclass_b")),
     ).select("pclass", "n_orders", "avg_price")
+
+
+# --------------------------------------------------------------------
+# 116. VARIANT semi-structured extraction — events.props ingested once
+# as Spark 4's VARIANT type (binary semi-structured encoding), then
+# path-extracted with variant_get. Against columnar storage VARIANT
+# shreds into real columns, so at 100 TB the path read is a pruned
+# column scan, not JSON string re-parsing per query — the idiomatic
+# replacement for get_json_object chains (#35 keeps the legacy form).
+@query(
+    "events_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
