@@ -484,3 +484,32 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 117. lateral join — per-customer top-2 orders expressed as a
+# correlated lateral subquery (Spark 4 DataFrame.lateralJoin). The
+# point is the PLAN: Catalyst decorrelates the per-row limit into
+# WindowGroupLimit + one equi-join — identical physics to the
+# hand-written window top-k (#28), written declaratively. Scale cost
+# is one shuffle of orders on custkey; nothing per-row.
+@query(
+    "lateral_top_orders",
+    oracle="""
+SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+""",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    sub = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(sub)
