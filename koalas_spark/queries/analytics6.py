@@ -1,6 +1,9 @@
-"""Event-analytics suite (SURVEY.md §2.2 §100-106): ordered funnel,
-retention cohorts, native session windows, first-touch attribution,
-GROUPING SETS, value histograms, and CDC latest-state compaction.
+"""Event-analytics + join-semantics suite (SURVEY.md §2.2 §100-106,
+§113-117): ordered funnel, retention cohorts, native session windows,
+first-touch attribution, GROUPING SETS, value histograms, CDC
+latest-state compaction, full-outer reconciliation, multiset EXCEPT
+ALL, null-safe join, VARIANT extraction, and lateral correlated
+top-k.
 
 Reference parity: these extend the groupby/sort/window family of
 `groupby.d` / `index.d` (sort-based grouping, `dataframe.d:177 sort`)
