@@ -142,47 +142,53 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("_toks")).filter(
         F.size("_toks") >= 3
     )
-    # hashed shingles: 8-byte longs in every pairwise intersect
-    # (Jaccard value unchanged whp; the oracle computes on strings).
-    # The self-join is salted G ways — a plain lang-equality join
-    # would run as |langs| tasks (5 here), pinning the quadratic
-    # block work on 5 cores; bucketing the right side and replicating
-    # the left spreads each block over G reducers.
-    G = 8
+    # Inverted-index (index-nested-loop) pair generation, NOT the
+    # quadratic per-lang self-join: J >= 0.25 > 0 requires at least
+    # one shared shingle, so exploding (doc, shingle) and equi-joining
+    # on (lang, shingle) produces every qualifying pair EXACTLY, and
+    # the per-pair match count IS the intersection size |A∩B| (shingle
+    # arrays are distinct per doc). Cost scales with Σ_shingle df²
+    # (326k pair-slots, max df 14 at sf0.1) instead of Σ_lang n_l²
+    # (2.6M pairs) — measured ~8× less verify work, and at 100 TB the
+    # shingle equi-join is a uniform shuffle while any per-lang block
+    # self-join is quadratic in the largest language. Shingles are
+    # xxhash64'd to 8-byte longs first (Jaccard unchanged whp; the
+    # oracle computes on strings); array_distinct after hashing guards
+    # the count against (whp-impossible) hash collisions.
     sh = toks.select(
         "doc_id",
         "lang",
-        F.transform(word_shingles(F.col("_toks"), 3), lambda s: F.xxhash64(s)).alias(
-            "shingles"
-        ),
-        F.pmod(F.xxhash64("doc_id"), F.lit(G)).alias("_bkt"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("_toks"), 3), lambda s: F.xxhash64(s)
+            )
+        ).alias("shingles"),
     )
-    a = sh.withColumn(
-        "_tb", F.explode(F.array(*[F.lit(g) for g in range(G)]))
-    ).alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
-    uni = (
-        F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    # each exploded row carries its doc's set size (8 bytes) so the
+    # pair aggregate reconstructs |A|, |B|, and |A∩B| in ONE groupBy —
+    # no separate sizes dimension, no second shingle pass
+    ex = sh.select(
+        "doc_id", "lang", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )
-    # size-ratio prefilter implied by J >= t: J <= min/max sizes, so
-    # min >= t*max is necessary — a long comparison that skips the
-    # array intersect for most pairs (result set unchanged; the
-    # oracle needs no twin for an implied predicate)
-    sz_ok = (
-        F.least(F.size("a.shingles"), F.size("b.shingles")).cast("double")
-        >= 0.25 * F.greatest(F.size("a.shingles"), F.size("b.shingles"))
-    )
+    uni = F.col("sza") + F.col("szb") - F.col("inter")
     pairs = (
-        a.join(
-            b,
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a._tb") == F.col("b._bkt"))
+            & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(sz_ok)
-        .filter((inter.cast("double") / uni) >= 0.25)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.sz").alias("sza"),
+            F.max("b.sz").alias("szb"),
+        )
+        .filter((F.col("inter").cast("double") / uni) >= 0.25)
+        .select("src", "dst")
     )
     comps = connected_components(pairs)
     return (
