@@ -335,3 +335,167 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 118. token-budget shard packing — assign docs (in stable doc_id
+# order) to training shards of ~4096 tokens via a DISTRIBUTED prefix
+# sum: per-block token totals (block = doc_id div 1024) roll up to
+# block offsets on a tiny frame, broadcast back, and the within-block
+# running sum finishes the global cumsum. A naive single window over
+# ORDER BY doc_id serializes the whole corpus through one partition —
+# the classic 100 TB trap; this two-level formulation keeps every
+# wide stage parallel while computing the IDENTICAL order-dependent
+# packing (oracle: plain global window cumsum).
+@query(
+    "doc_pack_shards",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior
+  FROM t)
+SELECT CAST(FLOOR(prior / 4096) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY shard
+""",
+)
+def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from koalas_spark.functions.textfn import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    cap, blk_sz = 4096, 1024
+    t = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tok"),
+        F.floor(F.col("doc_id") / blk_sz).alias("blk"),
+    )
+    blk_tot = t.groupBy("blk").agg(F.sum("tok").alias("bt"))
+    # |corpus| / 1024 rows: the unpartitioned window is driver-scale
+    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = blk_tot.select(
+        "blk", F.coalesce(F.sum("bt").over(w_blk), F.lit(0)).alias("blk_prior")
+    )
+    w_doc = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("tok").over(w_doc), F.lit(0)) + F.col("blk_prior")
+    packed = t.join(F.broadcast(offs), "blk").select(
+        "doc_id", "tok", F.floor(prior / cap).alias("shard")
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------
+# 119. Gopher-style repetition filter — flag docs whose single most
+# frequent token exceeds 20% of the doc (boilerplate / keyword-stuffed
+# pages). Two partial-aggregated groupBys, both keyed by doc_id so the
+# second reuses the first's shuffle layout; the 20% rule is the
+# integer compare max*5 > total (no float thresholds to drift).
+@query(
+    "gopher_repetition_filter",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+  FROM documents),
+pc AS (
+  SELECT doc_id, lang, t, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, t),
+agg AS (
+  SELECT doc_id, lang, MAX(c) AS mx, SUM(c) AS tot
+  FROM pc GROUP BY doc_id, lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN mx * 5 > tot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(MAX(mx) AS BIGINT) AS worst_run
+FROM agg GROUP BY lang
+""",
+)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t"))
+    pc = tok.groupBy("doc_id", "lang", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = pc.groupBy("doc_id", "lang").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    return agg.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("mx") * 5 > F.col("tot"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.max("mx").cast("bigint").alias("worst_run"),
+    )
+
+
+# --------------------------------------------------------------------
+# 120. unigram-LM quality score — CCNet-style frequency familiarity:
+# per-doc mean corpus frequency of its tokens, computed exactly in
+# integers (sum of corpus counts / token count). Docs whose tokens
+# average < 2 corpus occurrences are "low quality" (rare-token soup).
+# The vocabulary frame is broadcast — a 100 TB corpus still has a
+# vocabulary orders of magnitude smaller than the text, and the join
+# key (token) is the only shuffle the doc side would otherwise pay.
+@query(
+    "unigram_lm_quality",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         UNNEST(string_split_regex(TRIM(text), '\s+')) AS t
+  FROM documents),
+vocab AS (SELECT t, COUNT(*) AS cf FROM tok GROUP BY t),
+docscore AS (
+  SELECT tok.doc_id, tok.lang,
+         SUM(vocab.cf) AS fam, COUNT(*) AS n
+  FROM tok JOIN vocab USING (t)
+  GROUP BY tok.doc_id, tok.lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(fam) AS BIGINT) AS sum_fam,
+       CAST(SUM(n) AS BIGINT) AS sum_tok,
+       CAST(CAST(SUM(fam) AS DOUBLE) / SUM(n) AS DOUBLE) AS micro_avg_freq,
+       CAST(SUM(CASE WHEN fam < 2 * n THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_quality
+FROM docscore GROUP BY lang
+""",
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cf"))
+    docscore = (
+        tok.join(F.broadcast(vocab), "t")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("cf").alias("fam"), F.count(F.lit(1)).alias("n"))
+    )
+    return docscore.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("fam").cast("bigint").alias("sum_fam"),
+        F.sum("n").cast("bigint").alias("sum_tok"),
+        (F.sum("fam").cast("double") / F.sum("n")).cast("double").alias(
+            "micro_avg_freq"
+        ),
+        F.sum(F.when(F.col("fam") < 2 * F.col("n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_quality"),
+    )
