@@ -67,6 +67,7 @@ def _load() -> None:
         analytics5,
         analytics6,
         corpus,
+        layout,
         parity,
         pipeline,
         text,
