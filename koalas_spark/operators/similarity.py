@@ -109,16 +109,29 @@ def ivf_topk(
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("_cos").desc(), F.col("cell").asc()
     )
-    cellmap = (
+    # the vector and its norm ride through the assignment window
+    # (shuffle pays ~vector-width extra bytes per row) so the assigned
+    # corpus needs NO join back onto base — the earlier
+    # base⋈cellmap formulation recomputed the whole scan+cross-join a
+    # second time and added a full corpus shuffle
+    corpus_c = (
         base.crossJoin(F.broadcast(cents))
-        .select("neighbor_id", "cell", _pair_cos("neighbor_id", "cell").alias("_cos"))
+        .select(
+            "neighbor_id",
+            "_neighbor_id_vec",
+            "_neighbor_id_n",
+            "cell",
+            _pair_cos("neighbor_id", "cell").alias("_cos"),
+        )
         .withColumn("_rk", F.row_number().over(w_assign))
         .filter(F.col("_rk") == 1)
-        .select("neighbor_id", "cell")
+        .drop("_rk", "_cos")
     )
-    corpus_c = base.join(cellmap, "neighbor_id")
     probes_c = _prep(probes, id_col, vec_col, "probe_id").join(
-        cellmap.withColumnRenamed("neighbor_id", "probe_id"), "probe_id"
+        corpus_c.select(
+            F.col("neighbor_id").alias("probe_id"), "cell"
+        ),
+        "probe_id",
     )
     scored = (
         corpus_c.join(F.broadcast(probes_c), "cell")

@@ -487,20 +487,27 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    lines = li.select("l_orderkey", "l_suppkey", "l_shipdate", late.alias("_late"))
+    lines = li.select("l_orderkey", "l_suppkey", late.alias("_late"))
+    # ONE pass: when exactly one supplier is late, that supplier and
+    # its late-line count are recoverable from the same per-order
+    # aggregate (max over the late ids is THE id; the late-line sum is
+    # all his) — so the detail table never joins back and lineitem is
+    # scanned once instead of twice
     per_order = lines.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late"
+        ),
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).alias("_late_lines"),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
     )
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
     return (
-        lines.filter(F.col("_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .join(F.broadcast(supp), F.col("_late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_late_lines").cast("bigint").alias("numwait"))
     )
