@@ -65,3 +65,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return byte_histogram_features(with_blob(docs, "text"), "doc_id", bins=16)
+
+
+# 122. resize — nearest-neighbor byte-raster downsample through the
+# Arrow batch path (the PIL/cv2 resize shape). The numpy gather is not
+# SQL-expressible, so the query is rows-only; tests/test_multimodal.py
+# recomputes the resize independently and asserts byte equality, and
+# the aggregate here keeps the checked surface small and stable.
+@query("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import resize_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = resize_frames(with_blob(docs, "text"), "doc_id")
+    return (
+        resized.groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.length("resized")).cast("bigint").alias("total_bytes"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list(F.hex("resized"))))).alias(
+                "content_md5"
+            ),
+        )
+    )

@@ -54,3 +54,23 @@ def test_decode_stub_raises(spark):
     except NotImplementedError:
         raised = True
     assert raised
+
+
+def test_resize_frames_matches_python(spark):
+    from koalas_spark.operators.multimodal import resize_frames, with_blob
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    out = resize_frames(with_blob(docs), "doc_id", src_w=16, target_w=8, target_h=8)
+    got = {r.doc_id: (bytes(r.resized), r.width, r.height) for r in out.collect()}
+    for row in docs.select("doc_id", "text").collect():
+        arr = np.frombuffer(row.text.encode(), dtype=np.uint8)
+        src_h = arr.size // 16
+        if src_h < 1:
+            assert got[row.doc_id] == (arr.tobytes(), None, None)
+            continue
+        img = arr[: src_h * 16].reshape(src_h, 16)
+        ys = (np.arange(8) * src_h) // 8
+        xs = (np.arange(8) * 16) // 8
+        want = img[np.ix_(ys, xs)].tobytes()
+        assert got[row.doc_id] == (want, 8, 8)
+    assert len(got) == 50
