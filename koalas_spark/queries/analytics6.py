@@ -516,3 +516,61 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
     )
     return cust.lateralJoin(sub)
+
+
+# --------------------------------------------------------------------
+# 123. mergeable HLL sketch rollup — THE two-level distinct-count
+# pattern at 100 TB: per-(type, day) partial sketches (map-side
+# combinable, a few KB each) union-merged per type, so re-aggregating
+# a year of daily rollups never rescans raw events. Estimates are
+# engine-specific (DataSketches), so the query is rows-only; it
+# returns the exact distinct count alongside and
+# tests/test_sketches.py bounds the relative error.
+@query("hll_user_rollup", oracle=None)
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.queries.analytics import _load_events
+
+    ev = _load_events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias(
+            "approx_users"
+        ),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "exact_users", "approx_users", "n_events"
+    )
+
+
+# --------------------------------------------------------------------
+# 124. sketched heavy hitters — approx_top_k (DataSketches frequent
+# items) over exploded tokens vs the exact count. A single partial-
+# aggregable sketch replaces the full token shuffle when only the top
+# of the distribution matters. Rows-only (sketch internals are
+# engine-specific); tests assert the sketch's top-k set and counts
+# match the exact ones on this corpus (guaranteed when the sketch map
+# is larger than the vocabulary).
+@query("approx_token_topk", oracle=None)
+def approx_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    return (
+        tok.agg(F.expr("approx_top_k(t, 20, 4096)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("bigint").alias("approx_count"),
+        )
+        .orderBy(F.col("approx_count").desc(), F.col("token"))
+    )

@@ -1,0 +1,37 @@
+"""Sketch-family queries: mergeable HLL rollup and approx heavy
+hitters (SURVEY.md §2.2 #123-124). Estimates are engine-specific, so
+the driver records rows-only; these tests bound them against exact."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_hll_rollup_error_bounded(spark):
+    from koalas_spark.queries.analytics6 import hll_user_rollup
+
+    rows = hll_user_rollup(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        rel = abs(r.approx_users - r.exact_users) / r.exact_users
+        # lgK=14 gives ~0.8% standard error; 5% is a safe bound
+        assert rel < 0.05, (r.event_type, r.exact_users, r.approx_users)
+
+
+def test_approx_topk_matches_exact_on_small_vocab(spark):
+    from koalas_spark.functions.textfn import tokens
+    from koalas_spark.queries.analytics6 import approx_token_topk
+
+    got = [(r.token, r.approx_count) for r in approx_token_topk(spark, SF_SMOKE).collect()]
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    exact = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("t"))
+        .limit(20)
+        .collect()
+    )
+    # vocabulary << sketch map size, so counts are exact
+    assert got == [(r.t, r["count"]) for r in exact]
