@@ -574,3 +574,34 @@ def approx_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("approx_count").desc(), F.col("token"))
     )
+
+
+# --------------------------------------------------------------------
+# 125. SQL pipe syntax — TPC-H Q1 in Spark 4's |> operator chain
+# (SQL:2023-style pipes). Same Catalyst logical plan as the chained
+# DataFrame version (#21): pipes are sugar over the same operators,
+# so pushdown/partial-agg/codegen behavior is identical — the row
+# exists to pin the surface, not a new engine path.
+@query(
+    "pipe_syntax_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DECIMAL(25,6)) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pipe_syntax_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_pipe_lineitem")
+    return spark.sql(
+        """
+        FROM _pipe_lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE CAST(SUM(l_quantity) AS DECIMAL(25,6)) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, sum_qty, count_order
+        """
+    )
