@@ -605,3 +605,44 @@ def pipe_syntax_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, sum_qty, count_order
         """
     )
+
+
+# --------------------------------------------------------------------
+# 126. matrix transpose — Spark 4 DataFrame.transpose: a per-priority
+# metrics table flipped so metrics become rows and priorities become
+# columns (the report/export orientation). Transpose collects the
+# index column to name output columns — valid ONLY after aggregation
+# has reduced the frame to dimension cardinality, never on raw data;
+# the pre-agg here is the usual partial-agg shuffle and the flip is
+# driver-side metadata plus one narrow pass.
+@query(
+    "transpose_metrics",
+    oracle="""
+SELECT 'n_orders' AS key,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS "1-URGENT",
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) AS "2-HIGH",
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) AS "3-MEDIUM",
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS "4-NOT SPECIFIED",
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS "5-LOW"
+FROM orders
+UNION ALL
+SELECT 'sum_price',
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE)
+FROM orders
+""",
+)
+def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return agg.transpose(F.col("o_orderpriority"))
