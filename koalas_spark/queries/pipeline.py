@@ -499,3 +499,52 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_low_quality"),
     )
+
+
+# --------------------------------------------------------------------
+# 127. shard export → manifest-driven load round-trip — the custom
+# Python Data Source pair (sources/pyshardsink.py): documents are
+# exported once per sf as executor-parallel JSONL shards with a
+# committed _manifest.json, then read back through the manifest-driven
+# reader (one partition per shard) and aggregated. The oracle runs the
+# same aggregate on the original table, so the whole two-phase
+# write + schema-on-read load path is value-checked, not just smoke-run.
+@query(
+    "shard_roundtrip_stats",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+""",
+)
+def shard_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from koalas_spark.sources.pyshardsink import ShardSinkSource
+
+    try:
+        spark.dataSource.register(ShardSinkSource)
+    except Exception:
+        pass  # already registered in this session
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/root/repo/.tmp", f"shards_{tag}")
+    if not os.path.exists(os.path.join(path, "_manifest.json")):
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .repartition(8, "doc_id")
+            .write.format("shardsink")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    loaded = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .format("shardsink")
+        .option("path", path)
+        .load()
+    )
+    return loaded.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

@@ -29,7 +29,9 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -83,8 +85,40 @@ class ShardSinkWriter(DataSourceWriter):
                 pass
 
 
+class ShardPartition(InputPartition):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class ShardSourceReader(DataSourceReader):
+    """Manifest-driven reads: one InputPartition per shard file, so
+    read parallelism equals shard count and a scheduler (or a training
+    loader) can place work by the manifest's row/byte counts without
+    opening a single shard."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.schema = schema
+
+    def partitions(self) -> list[ShardPartition]:
+        manifest = json.load(open(os.path.join(self.path, "_manifest.json")))
+        return [ShardPartition(s["file"]) for s in manifest["shards"]]
+
+    def read(self, part: ShardPartition) -> Iterator[tuple]:
+        fields = [f.name for f in self.schema.fields]
+        with open(os.path.join(self.path, part.filename)) as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(rec.get(name) for name in fields)
+
+
 class ShardSinkSource(DataSource):
-    """Register with `spark.dataSource.register(ShardSinkSource)`."""
+    """Register with `spark.dataSource.register(ShardSinkSource)`.
+
+    Write: `df.write.format("shardsink").option("path", p)
+    .mode("append").save()`. Read back: `spark.read
+    .schema(...).format("shardsink").option("path", p).load()` —
+    the user schema projects the JSONL records (schema-on-read)."""
 
     @classmethod
     def name(cls) -> str:
@@ -92,3 +126,6 @@ class ShardSinkSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return ShardSinkWriter(self.options, schema, overwrite)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ShardSourceReader(self.options, schema)

@@ -41,10 +41,22 @@ def test_shard_sink_writes_manifest_and_roundtrips(spark):
     # no staged temp files left behind
     assert not glob.glob(os.path.join(OUT, ".*.tmp"))
 
-    # round-trip: the shards re-read to the identical dataset
+    # round-trip 1: plain JSON reader over the shard files
     back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
         os.path.join(OUT, "shard-*.jsonl")
     )
     assert back.count() == n_expected
     diff = docs.exceptAll(back).count() + back.exceptAll(docs).count()
     assert diff == 0
+
+    # round-trip 2: the manifest-driven reader side of the source —
+    # one partition per shard, schema-on-read projection
+    loaded = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .format("shardsink")
+        .option("path", OUT)
+        .load()
+    )
+    assert loaded.rdd.getNumPartitions() == 4
+    diff2 = docs.exceptAll(loaded).count() + loaded.exceptAll(docs).count()
+    assert diff2 == 0
