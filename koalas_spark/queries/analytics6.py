@@ -1,9 +1,10 @@
 """Event-analytics + join-semantics suite (SURVEY.md §2.2 §100-106,
-§113-117): ordered funnel, retention cohorts, native session windows,
-first-touch attribution, GROUPING SETS, value histograms, CDC
+§113-117, §123-126): ordered funnel, retention cohorts, native session
+windows, first-touch attribution, GROUPING SETS, value histograms, CDC
 latest-state compaction, full-outer reconciliation, multiset EXCEPT
-ALL, null-safe join, VARIANT extraction, and lateral correlated
-top-k.
+ALL, null-safe join, VARIANT extraction, lateral correlated top-k,
+mergeable HLL rollup, sketched heavy hitters, SQL pipe syntax, and
+DataFrame.transpose.
 
 Reference parity: these extend the groupby/sort/window family of
 `groupby.d` / `index.d` (sort-based grouping, `dataframe.d:177 sort`)
