@@ -183,3 +183,52 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+# 128. SemDeDup-style embedding cluster canonicalization — the cosine
+# near-dup pairs of #41 closed into transitive groups by the same
+# distributed connected-components pass as #111, one row per cluster
+# with the canonical (min) member. Pair detection alone over-deletes
+# when A~B~C but A!~C; clustering keeps exactly one representative per
+# semantic group. Oracle: recursive-CTE min-label propagation.
+@query(
+    "embedding_cluster_canonical",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+              / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                     * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6)
+        >= 0.35),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+lp AS (
+  WITH RECURSIVE walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.src, walk.lbl FROM edges e JOIN walk ON walk.node = e.dst
+    WHERE walk.lbl < e.src)
+  SELECT node, MIN(lbl) AS comp FROM walk GROUP BY node)
+SELECT comp AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       list_sort(list(node)) AS members
+FROM lp GROUP BY comp HAVING COUNT(*) >= 2
+""",
+)
+def embedding_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.graph import connected_components
+
+    pairs = neardup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+        .select(F.col("comp").alias("canonical_id"), "n_vecs", "members")
+    )

@@ -145,3 +145,14 @@ def test_session_window_single_shuffle(spark):
 
     plan = _simple(session_window_native(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q21_scans_lineitem_once(spark):
+    # the r1 rewrite recovers the lone late supplier from the per-order
+    # aggregate instead of joining the detail back — lock in the
+    # single-scan plan
+    from koalas_spark.queries.analytics5 import q21_waiting_supplier
+
+    plan = _plan(q21_waiting_supplier(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
