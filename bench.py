@@ -56,6 +56,13 @@ HEADLINE = [
     "cdc_upsert_compact",
     "tfidf_top_terms",
     "dedup_cluster_canonical",
+    "embedding_cluster_canonical",
+    "doc_pack_shards",
+    "gopher_repetition_filter",
+    "unigram_lm_quality",
+    "hll_user_rollup",
+    "zorder_box_scan",
+    "shard_roundtrip_stats",
 ]
 
 

@@ -97,13 +97,15 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
-    (coarse quantizer, broadcast), then probes search only their own
-    cell. At 100 TB the assignment is one broadcast pass over the
-    corpus and the search shuffles on cell id — corpus never
-    self-joins. nprobe=1 here; recall/latency tunes by widening the
-    centroid ranking to rk <= nprobe."""
+    (coarse quantizer, broadcast), then each probe searches its
+    ``nprobe`` nearest centroid cells. At 100 TB the assignment is one
+    broadcast pass over the corpus and the search shuffles on cell id
+    — corpus never self-joins. Results never duplicate across probed
+    cells because every corpus vector lives in exactly one cell;
+    recall/latency tunes by nprobe alone."""
     cents = _prep(centroids, id_col, vec_col, "cell")
     base = _prep(corpus, id_col, vec_col, "neighbor_id")
     w_assign = Window.partitionBy("neighbor_id").orderBy(
@@ -127,11 +129,25 @@ def ivf_topk(
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_cos")
     )
-    probes_c = _prep(probes, id_col, vec_col, "probe_id").join(
-        corpus_c.select(
-            F.col("neighbor_id").alias("probe_id"), "cell"
-        ),
-        "probe_id",
+    # probes rank the broadcast centroids directly (same rounded-cos +
+    # cell-id tie-break as the corpus assignment), keeping the nprobe
+    # nearest cells each
+    w_probe = Window.partitionBy("probe_id").orderBy(
+        F.col("_cos").desc(), F.col("cell").asc()
+    )
+    probes_c = (
+        _prep(probes, id_col, vec_col, "probe_id")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "_probe_id_vec",
+            "_probe_id_n",
+            "cell",
+            _pair_cos("probe_id", "cell").alias("_cos"),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= nprobe)
+        .drop("_rk", "_cos")
     )
     scored = (
         corpus_c.join(F.broadcast(probes_c), "cell")
