@@ -196,24 +196,39 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
     the vote sum sets the fingerprint bit.
 
-    Implemented by exploding tokens and aggregating 64 conditional
-    sums — partial aggregation map-side keeps the shuffle at one row
-    of 64 longs per document."""
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
-    h = F.xxhash64("t")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    agg = tok.groupBy("id").agg(*votes)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    return agg.select("id", sim.alias("simhash"))
+    Token hashing stays JVM-side (xxhash64 inside a higher-order
+    transform, deterministic across engines); the 64-bit vote fold is
+    a SHUFFLE-FREE Arrow-batched map — one vectorized numpy pass turns
+    each doc's token-hash array into its fingerprint. The earlier
+    explode + groupBy(id) + 64-conditional-sum formulation paid a full
+    token shuffle and a pathological generated-code blob (64 agg
+    expressions); per-doc fingerprints need neither — the map runs
+    where the data sits, same argument as minhash_sigs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: stringified annotations break hint inference here
+    @pandas_udf("long")
+    def _sim(hashes):
+        out = np.zeros(len(hashes), dtype=np.int64)
+        bitpos = np.arange(64, dtype=np.uint64)
+        for i, row in enumerate(hashes):
+            h = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                continue
+            bits = (h[:, None] >> bitpos[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out[i] = ((votes > 0).astype(np.uint64) << bitpos).sum().astype(
+                np.int64
+            )
+        return pd.Series(out)
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    return toks.select("id", _sim(hashes).alias("simhash"))
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -237,16 +252,35 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("sk"),
     ).select("id", "simhash", "sk.seg", "sk.sv")
-    a, b = seg.alias("a"), seg.alias("b")
-    cand = (
-        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.sv") == F.col("b.sv")))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+    # bucket-locally generate ordered pairs from each segment bucket
+    # (one shuffle; the input is consumed once — same pattern as
+    # lsh_candidate_pairs), then verify hamming on the pair
+    buckets = (
+        seg.groupBy("seg", "sv")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("ms")
         )
+        .filter(F.size("ms") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sh_a"),
+                    y["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
