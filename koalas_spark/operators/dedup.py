@@ -288,3 +288,59 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    shingle_n: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard >= threshold pairs via inverted-index
+    (index-nested-loop) generation, not a quadratic block self-join:
+    J >= t > 0 requires at least one shared shingle, so exploding
+    (doc, shingle-hash) and equi-joining on (block, shingle) produces
+    every qualifying pair exactly, and the per-pair match count IS the
+    intersection size (shingle arrays are distinct per doc). Each
+    exploded row carries its doc's set size, so one groupBy
+    reconstructs |A|, |B|, |A∩B|. Cost scales with Σ_shingle df²
+    instead of Σ_block n², and the shingle equi-join is a uniform
+    shuffle at any scale. Returns (src, dst) with src < dst."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") >= shingle_n)
+    sh = toks.select(
+        "id",
+        "blk",
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("_toks"), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("shingles"),
+    )
+    ex = sh.select(
+        "id", "blk", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    uni = F.col("sza") + F.col("szb") - F.col("inter")
+    return (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("a.sz").alias("sza"),
+            F.max("b.sz").alias("szb"),
+        )
+        .filter((F.col("inter").cast("double") / uni) >= threshold)
+        .select("src", "dst")
+    )

@@ -136,59 +136,16 @@ FROM lp GROUP BY comp HAVING COUNT(*) >= 2
 """,
 )
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.dedup import exact_jaccard_pairs
     from koalas_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("_toks")).filter(
-        F.size("_toks") >= 3
-    )
-    # Inverted-index (index-nested-loop) pair generation, NOT the
-    # quadratic per-lang self-join: J >= 0.25 > 0 requires at least
-    # one shared shingle, so exploding (doc, shingle) and equi-joining
-    # on (lang, shingle) produces every qualifying pair EXACTLY, and
-    # the per-pair match count IS the intersection size |A∩B| (shingle
-    # arrays are distinct per doc). Cost scales with Σ_shingle df²
-    # (326k pair-slots, max df 14 at sf0.1) instead of Σ_lang n_l²
-    # (2.6M pairs) — measured ~8× less verify work, and at 100 TB the
-    # shingle equi-join is a uniform shuffle while any per-lang block
-    # self-join is quadratic in the largest language. Shingles are
-    # xxhash64'd to 8-byte longs first (Jaccard unchanged whp; the
-    # oracle computes on strings); array_distinct after hashing guards
-    # the count against (whp-impossible) hash collisions.
-    sh = toks.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.transform(
-                word_shingles(F.col("_toks"), 3), lambda s: F.xxhash64(s)
-            )
-        ).alias("shingles"),
-    )
-    # each exploded row carries its doc's set size (8 bytes) so the
-    # pair aggregate reconstructs |A|, |B|, and |A∩B| in ONE groupBy —
-    # no separate sizes dimension, no second shingle pass
-    ex = sh.select(
-        "doc_id", "lang", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
-    )
-    uni = F.col("sza") + F.col("szb") - F.col("inter")
-    pairs = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.max("a.sz").alias("sza"),
-            F.max("b.sz").alias("szb"),
-        )
-        .filter((F.col("inter").cast("double") / uni) >= 0.25)
-        .select("src", "dst")
+    # exact_jaccard_pairs is the inverted-index pair generator: cost
+    # scales with Σ_shingle df² (326k pair-slots, max df 14 at sf0.1)
+    # instead of the largest language block squared (2.6M pairs), and
+    # the shingle equi-join is a uniform shuffle at any scale
+    pairs = exact_jaccard_pairs(
+        d, "doc_id", "text", block_col="lang", shingle_n=3, threshold=0.25
     )
     comps = connected_components(pairs)
     return (
@@ -203,4 +160,122 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "members",
         )
+    )
+
+
+# --------------------------------------------------------------------
+# 129. end-to-end corpus curation funnel — the operators composed the
+# way a production pre-training pipeline chains them: token-count
+# quality gate → exact dedup (min-id per normalized fingerprint,
+# computed among survivors via a conditional window min) → transitive
+# near-dup removal (exact_jaccard_pairs → connected components, drop
+# non-canonical members) → deterministic 50% hash sample. One wide
+# pass carries boolean stage flags so all five stage counts come from
+# a single aggregate; the only side plan is the (tiny, broadcast)
+# drop-list from the cluster pass. Oracle: the same funnel as chained
+# CTEs with a recursive-CTE cluster step.
+@query(
+    "pipeline_curation_funnel",
+    oracle=r"""
+WITH s1 AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE LEN(string_split_regex(TRIM(text), '\s+')) >= 20),
+s2 AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           MIN(doc_id) OVER (PARTITION BY
+             md5(LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))))) AS m
+    FROM s1) t WHERE doc_id = m),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+             range(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM s2) t
+  WHERE LEN(toks) >= 3),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+             AS DOUBLE)
+        / (LEN(a.shingles) + LEN(b.shingles)
+           - LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x))))
+        >= 0.25),
+edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+lp AS (
+  WITH RECURSIVE walk(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.src, walk.lbl FROM edges e JOIN walk ON walk.node = e.dst
+    WHERE walk.lbl < e.src)
+  SELECT node, MIN(lbl) AS comp FROM walk GROUP BY node),
+dropd AS (SELECT node FROM lp WHERE node != comp),
+s3 AS (SELECT doc_id FROM s2
+       WHERE doc_id NOT IN (SELECT node FROM dropd)),
+s4 AS (SELECT doc_id FROM s3
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+SELECT 'corpus' AS stage,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT 'quality', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+UNION ALL SELECT 'exact_dedup', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL SELECT 'neardup_dedup', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+UNION ALL SELECT 'sampled', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+""",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import normalize_text, token_count
+    from koalas_spark.operators.dedup import exact_jaccard_pairs
+    from koalas_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        (token_count(F.col("text")) >= 20).alias("q_ok"),
+        F.md5(normalize_text(F.col("text"))).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    keep_min = F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(w)
+    wide = wide.withColumn(
+        "ex_keep", F.col("q_ok") & (F.col("doc_id") == keep_min)
+    )
+    s2 = wide.filter(F.col("ex_keep")).select("doc_id", "lang", "text")
+    pairs = exact_jaccard_pairs(
+        s2, "doc_id", "text", block_col="lang", shingle_n=3, threshold=0.25
+    )
+    drop = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("nd_drop"))
+    )
+    flagged = wide.join(F.broadcast(drop), "doc_id", "left")
+    nd_keep = F.col("ex_keep") & F.col("nd_drop").isNull()
+    samp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000"
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("q_ok").cast("long")).alias("n1"),
+        F.sum(F.col("ex_keep").cast("long")).alias("n2"),
+        F.sum(nd_keep.cast("long")).alias("n3"),
+        F.sum((nd_keep & samp).cast("long")).alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(col).cast("bigint").alias("n_docs"),
+            )
+            for name, col in [
+                ("corpus", "n0"),
+                ("quality", "n1"),
+                ("exact_dedup", "n2"),
+                ("neardup_dedup", "n3"),
+                ("sampled", "n4"),
+            ]
+        ]
+    )
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_docs"
     )
