@@ -63,6 +63,7 @@ HEADLINE = [
     "hll_user_rollup",
     "zorder_box_scan",
     "shard_roundtrip_stats",
+    "pipeline_curation_funnel",
 ]
 
 
