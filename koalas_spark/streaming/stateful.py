@@ -108,11 +108,23 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         )
     )
     qname = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = sessions.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    # state partitions sized to state volume, not cores — see
+    # windows._run_to_memory for the measurement
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
-        out = spark.table(qname)
-        result = spark.createDataFrame(out.collect(), schema=out.schema)
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out = spark.table(qname)
+            result = spark.createDataFrame(out.collect(), schema=out.schema)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return result

