@@ -59,8 +59,11 @@ def word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50).drop("rk")
+    # orderBy+limit compiles to TakeOrderedAndProject: each partition keeps
+    # its local top-50, the driver merges 50×P rows — no single-task sort of
+    # the whole vocabulary (a global row_number window would funnel every
+    # distinct token through one partition).
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
 
 
 # --------------------------------------------------------------------

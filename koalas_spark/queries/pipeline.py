@@ -380,10 +380,29 @@ def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("doc_id") / blk_sz).alias("blk"),
     )
     blk_tot = t.groupBy("blk").agg(F.sum("tok").alias("bt"))
-    # |corpus| / 1024 rows: the unpartitioned window is driver-scale
-    w_blk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    offs = blk_tot.select(
-        "blk", F.coalesce(F.sum("bt").over(w_blk), F.lit(0)).alias("blk_prior")
+    # Three-level prefix sum. Level 2 rolls 1024 blocks into a superblock;
+    # only the level-3 window over superblocks is unpartitioned, and it
+    # holds |corpus|/2^20 rows (~1e5 rows even at 1e11 docs). Per-task row
+    # bound anywhere in this plan: max(1024, |corpus|/2^20).
+    blk_tot = blk_tot.withColumn("sblk", F.floor(F.col("blk") / blk_sz))
+    sblk_tot = blk_tot.groupBy("sblk").agg(F.sum("bt").alias("st"))
+    w_sblk = Window.orderBy("sblk").rowsBetween(Window.unboundedPreceding, -1)
+    sblk_offs = sblk_tot.select(
+        "sblk", F.coalesce(F.sum("st").over(w_sblk), F.lit(0)).alias("sblk_prior")
+    )
+    w_blk = (
+        Window.partitionBy("sblk")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        blk_tot.withColumn(
+            "blk_prior_within", F.coalesce(F.sum("bt").over(w_blk), F.lit(0))
+        )
+        .join(F.broadcast(sblk_offs), "sblk")
+        .select(
+            "blk", (F.col("blk_prior_within") + F.col("sblk_prior")).alias("blk_prior")
+        )
     )
     w_doc = (
         Window.partitionBy("blk")
@@ -391,7 +410,10 @@ def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = F.coalesce(F.sum("tok").over(w_doc), F.lit(0)) + F.col("blk_prior")
-    packed = t.join(F.broadcast(offs), "blk").select(
+    # no forced broadcast: offs is |corpus|/1024 rows (GBs at 1e11 docs).
+    # AQE broadcasts it while it's small and falls back to a shuffled join
+    # once it isn't — both plans are correct.
+    packed = t.join(offs, "blk").select(
         "doc_id", "tok", F.floor(prior / cap).alias("shard")
     )
     return packed.groupBy("shard").agg(
