@@ -109,19 +109,32 @@ def minhash_sigs(base: DataFrame, num_perm: int = 64) -> DataFrame:
     return base.select("id", _sig("shingles").alias("sig"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
     """Banded LSH: docs agreeing on all `rows` signature slots of any
     band become a candidate pair.
 
     Buckets are formed with ONE shuffle on (band, band_hash) — uniform
     64-bit keys — and pairs are generated bucket-locally by exploding
-    the ordered combinations of each bucket's (tiny) id list, instead
-    of a second shuffle for a bucket self-join. The signature input is
+    the ordered combinations of each bucket's id list, instead of a
+    second shuffle for a bucket self-join. The signature input is
     therefore consumed exactly once, so callers don't need to persist
-    it. Bucket sizes are whp small (a bucket IS a near-dup cluster
-    candidate); a degenerate hot bucket would hurt the self-join
-    formulation identically, and the collect_list cap is the same
-    quadratic either way."""
+    it.
+
+    Skew guard: each bucket's n^2/2 combos materialize as ONE array row
+    before the explode, so a degenerate hot bucket (boilerplate or
+    near-empty docs colliding on a band) would concentrate its whole
+    quadratic into a single task and can hit the 2 GB array limit.
+    Buckets larger than `max_bucket_size` are dropped — the standard
+    MinHash-LSH mitigation (such buckets are ~all mutual near-dups of
+    boilerplate; at 16 bands a genuine dup cluster still surfaces via
+    its other bands unless it is hot in all of them). At the default
+    1000 cap a bucket row holds <=~500k pair structs (~8 MB). Pass
+    max_bucket_size=0 to disable the cap (exact candidate recall)."""
     banded = sigs.select(
         "id",
         F.explode(
@@ -143,6 +156,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows: int = 4) -> Data
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     combos = F.flatten(
         F.transform(
             F.col("ids"),
@@ -172,16 +187,21 @@ def verify_pairs_jaccard(
     """Join shingle sets back onto candidate pairs and keep pairs with
     exact Jaccard >= threshold.
 
-    The PAIRS side is broadcast-hinted: candidate pairs are tiny
-    relative to the corpus at any scale (LSH prunes to near-dups), so
-    the shingle table must stream — without the hint Spark may pick
-    the shingle table as the build side and pay a driver collect of
-    every shingle set (measured 10s at sf0.1; unbounded at 100 TB)."""
+    The PAIRS side carries a SHUFFLE_HASH hint: both sides shuffle on
+    the id, pairs become the per-partition hash build side, and the
+    shingle table streams. This keeps the scale-dominant side (shingle
+    sets) off the build/broadcast path without capping the pair count:
+    at 1e11 docs even a 1% dup rate is ~1e9 pairs — tens of GB, far
+    past any broadcast threshold — but each SHJ partition only builds
+    its 1/P slice. (A broadcast hint on pairs measured slightly faster
+    at sf0.1 by skipping the pair shuffle, but is an executor OOM at
+    scale; AQE still upgrades the SHJ to broadcast when the pair side
+    really is tiny.)"""
     sh = sigs.select("id", "shingles")
     out = (
-        pairs.hint("broadcast")
+        pairs.hint("shuffle_hash")
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .hint("broadcast")
+        .hint("shuffle_hash")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
         .select(
             "id_a",
@@ -214,6 +234,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         out = np.zeros(len(hashes), dtype=np.int64)
         bitpos = np.arange(64, dtype=np.uint64)
         for i, row in enumerate(hashes):
+            # NULL text → NULL token array → row is None here; without
+            # the guard np.asarray(None) raises and fails the whole job.
+            # NULL and empty docs both get simhash 0 (kept in the output,
+            # so degenerate docs dedup against each other — documented).
+            if row is None:
+                continue
             h = np.asarray(row, dtype=np.int64).astype(np.uint64)
             if h.size == 0:
                 continue

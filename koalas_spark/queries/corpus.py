@@ -257,7 +257,11 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("node") != F.col("comp"))
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("nd_drop"))
     )
-    flagged = wide.join(F.broadcast(drop), "doc_id", "left")
+    # no forced broadcast: the near-dup drop set scales with the corpus
+    # (web corpora run 20-50% near-dups), so a mandatory broadcast OOMs
+    # executors at 100 TB. Left join + AQE: broadcast while small,
+    # shuffled join once it isn't — flags are computed identically.
+    flagged = wide.join(drop, "doc_id", "left")
     nd_keep = F.col("ex_keep") & F.col("nd_drop").isNull()
     samp = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "8000"
     counts = flagged.agg(
