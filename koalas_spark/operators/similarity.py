@@ -62,34 +62,6 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec_col, num_planes: int = 8, dim: int = 64):
-    """Sign-bucket id from ``num_planes`` deterministic pseudo-random
-    hyperplanes. Weight(plane p, dim d) = ±1 from bit0 of
-    xxhash64(p, d) — a fixed expression, no driver-side matrix."""
-    bucket = None
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(
-                    *[
-                        F.when(
-                            F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 1, 1.0
-                        ).otherwise(-1.0)
-                        for d in range(dim)
-                    ]
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket.bitwiseXOR(term)
-    return bucket
-
-
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

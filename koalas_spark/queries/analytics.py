@@ -557,12 +557,31 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# 36. approx distinct — sketch-based cardinality (rows-only check:
-# HLL implementations differ across engines by design).
-@query("distinct_approx", oracle=None)
+# 36. approx distinct — sketch-based cardinality. HLL values differ
+# across engines by design, so the approx side can't be hash-compared
+# directly; instead the query emits the EXACT count (oracle-checked
+# value-for-value) plus a boolean asserting the sketch landed within
+# 5% of it (oracle: literal TRUE). rsd=0.02 leaves 2.5 sigma of
+# margin under the 5% bar, and HLL++ is deterministic for fixed
+# input, so the flag is stable across runs.
+@query(
+    "distinct_approx",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem
+    """,
+)
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("approx_within_5pct"),
     )

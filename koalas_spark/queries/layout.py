@@ -57,11 +57,14 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
     """Stage lineitem Z-ordered by (l_partkey, l_suppkey) under .tmp,
-    keyed by sf dir; reused across calls within a run (the _SUCCESS
-    marker makes restage idempotent)."""
+    keyed by (sf dir, source mtime) so regenerating the source data in
+    place restages instead of serving stale rows; reused across calls
+    within a run (the _SUCCESS marker makes restage idempotent)."""
     from koalas_spark.operators.layout import zorder_write
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    mtime = int(os.stat(src).st_mtime)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{mtime}"
     path = os.path.join("/root/repo/.tmp", f"zorder_lineitem_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         zorder_write(

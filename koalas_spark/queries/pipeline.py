@@ -548,7 +548,10 @@ def shard_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(ShardSinkSource)
     except Exception:
         pass  # already registered in this session
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # key the staged copy by (sf dir, source mtime): regenerating the
+    # source parquet in place restages instead of serving stale shards
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.stat(src).st_mtime)}"
     path = os.path.join("/root/repo/.tmp", f"shards_{tag}")
     if not os.path.exists(os.path.join(path, "_manifest.json")):
         (

@@ -121,8 +121,10 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            out = spark.table(qname)
-            result = spark.createDataFrame(out.collect(), schema=out.schema)
+            result = spark.table(qname).persist()
+            # materialize the cache before stopping the query (the
+            # memory sink's rows are tied to it) — no driver collect()
+            result.count()
         finally:
             q.stop()
     finally:

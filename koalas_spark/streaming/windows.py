@@ -179,10 +179,12 @@ def _run_to_memory(spark, agg, project, output_mode: str = "complete") -> DataFr
         )
         try:
             q.processAllAvailable()
-            out = project(spark.table(qname))
-            # materialize before stopping the query (memory sink is
-            # tied to it)
-            result = spark.createDataFrame(out.collect(), schema=out.schema)
+            result = project(spark.table(qname)).persist()
+            # materialize the cache before stopping the query (the
+            # memory sink's rows are tied to it) — keeps the result
+            # executor-side instead of round-tripping it through a
+            # driver collect()+createDataFrame
+            result.count()
         finally:
             q.stop()
     finally:

@@ -60,3 +60,41 @@ def test_shard_sink_writes_manifest_and_roundtrips(spark):
     assert loaded.rdd.getNumPartitions() == 4
     diff2 = docs.exceptAll(loaded).count() + loaded.exceptAll(docs).count()
     assert diff2 == 0
+
+    # no job staging dirs survive a successful commit
+    assert not glob.glob(os.path.join(OUT, ".staging-*"))
+
+
+def test_shard_sink_overwrite_replaces_prior_job(spark):
+    from koalas_spark.sources.pyshardsink import ShardSinkSource
+
+    spark.dataSource.register(ShardSinkSource)
+    out = OUT + "_ow"
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4, "doc_id")
+    )
+    docs.write.format("shardsink").option("path", out).mode("append").save()
+    first = set(glob.glob(os.path.join(out, "shard-*.jsonl")))
+    assert len(first) == 4
+
+    # overwrite with a SMALLER job: prior shards must disappear, the
+    # manifest must describe only the new set, and a glob read must
+    # not double-count
+    half = docs.filter(F.col("doc_id") % 2 == 0).repartition(2, "doc_id")
+    n_half = half.count()
+    half.write.format("shardsink").option("path", out).mode("overwrite").save()
+
+    files = set(glob.glob(os.path.join(out, "shard-*.jsonl")))
+    assert len(files) == 2 and not (files & first)
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert manifest["total_rows"] == n_half
+    assert len(manifest["shards"]) == 2
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        os.path.join(out, "shard-*.jsonl")
+    )
+    assert back.count() == n_half
+    assert not glob.glob(os.path.join(out, ".staging-*"))
