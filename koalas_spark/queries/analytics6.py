@@ -61,7 +61,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        F.unix_micros("ts").alias("us"),
+        # ts may arrive as TIMESTAMP or TIMESTAMP_NTZ depending on the
+        # parquet writer's isAdjustedToUTC flag; cast to LTZ first
+        # (identity under the UTC session tz) so unix_micros resolves
+        # for both.
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
     )
     before = (
         Window.partitionBy("user_id")
