@@ -251,7 +251,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return pd.Series(out)
 
     toks = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("id"),
+        # split("") yields [""] — drop empty tokens so empty/whitespace
+        # docs land in the empty-array path and fingerprint to 0, same
+        # as NULL docs (pinned by test_simhash_null_empty_policy)
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
     )
     hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
     return toks.select("id", _sim(hashes).alias("simhash"))

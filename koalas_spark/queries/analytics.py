@@ -64,18 +64,20 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long (runtime conf) and
-    truncate to microsecond timestamps — the same truncation DuckDB
-    applies when casting TIMESTAMP_NS, so oracles agree. Integer DIV
-    keeps full precision (a double division would round ns epochs)."""
+    """Normalize the events scan against parquet timestamp flavor.
+
+    The generator has written ts as TIMESTAMP(NANOS) (rejected by the
+    reader without the nanosAsLong conf) and as tz-less TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ by Spark 4.x). Every downstream consumer —
+    unix-epoch casts, withWatermark, window() — requires TIMESTAMP_LTZ,
+    so normalize both flavors here, once, instead of per query. Under
+    the UTC session tz the NTZ->LTZ cast is an identity relabel, so
+    DuckDB oracles (which read the raw micros) still agree."""
+    from koalas_spark.sources.io import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import types as T
-
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    return df
+    return normalize_event_time(df)
 
 
 def dsum(c: Column | str) -> Column:

@@ -62,6 +62,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Make an event-time column robust to parquet timestamp flavor.
+
+    Generators variously write event time as TIMESTAMP(NANOS) (which the
+    reader surfaces as LONG under spark.sql.legacy.parquet.nanosAsLong)
+    or tz-less TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ by Spark 4.x).
+    Everything downstream — unix-epoch casts, withWatermark (which
+    rejects TIMESTAMP_NTZ), window()/session_window() — wants
+    TIMESTAMP_LTZ, so every events scan funnels through this one cast.
+    Under the repo's UTC session timezone the NTZ->LTZ cast relabels the
+    same micros value, so DuckDB oracles reading the raw file agree
+    bit-for-bit. Works identically on batch and streaming frames."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # nanos-as-long: integer DIV keeps full precision; truncation
+        # to micros matches DuckDB's TIMESTAMP_NS cast.
+        return df.withColumn(col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp_ltz"))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:

@@ -23,7 +23,6 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
@@ -90,11 +89,9 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     link = os.path.join(stage, os.path.basename(events_path))
     if not os.path.exists(link):
         os.symlink(events_path, link)
-    src = spark.readStream.schema(schema).parquet(stage)
-    from pyspark.sql import types as T
+    from koalas_spark.sources.io import normalize_event_time
 
-    if isinstance(schema["ts"].dataType, T.LongType):
-        src = src.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    src = normalize_event_time(spark.readStream.schema(schema).parquet(stage))
     sessions = (
         src.select("user_id", "ts")
         .withWatermark("ts", f"{GAP_SECONDS} seconds")

@@ -21,8 +21,11 @@ def _staged_events_stream(
 ) -> DataFrame:
     """readStream over a single (read-only) parquet file: the file
     streaming source monitors a directory, so the input is staged
-    behind a symlink dir. Normalizes TIMESTAMP(NANOS) ts to micros
-    (same truncation DuckDB applies, so oracles agree)."""
+    behind a symlink dir. Normalizes nanos/NTZ ts flavors to
+    TIMESTAMP_LTZ (withWatermark rejects TIMESTAMP_NTZ) via the shared
+    read-path cast, so oracles agree."""
+    from koalas_spark.sources.io import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     stage = f"/root/repo/.tmp/stream_{prefix}_{abs(hash(events_path)) % 10**8}"
@@ -31,13 +34,7 @@ def _staged_events_stream(
     if not os.path.exists(link):
         os.symlink(events_path, link)
     src = spark.readStream.schema(schema).parquet(stage)
-    from pyspark.sql import types as T
-
-    if isinstance(schema["ts"].dataType, T.LongType):
-        src = src.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
-    return src
+    return normalize_event_time(src)
 
 
 def stream_tumbling_counts(

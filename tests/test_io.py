@@ -71,3 +71,48 @@ def test_partitioned_parquet_prunes(spark):
     expected = docs.filter(F.col("lang") == "en").count()
     assert one.count() == expected
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ntz_parquet_event_time_normalized(spark):
+    """Regression: the driver's generator writes events.ts as tz-less
+    TIMESTAMP(MICROS), which Spark 4.x reads as TIMESTAMP_NTZ — a type
+    that withWatermark rejects and CAST(.. AS BIGINT) refuses. The
+    read path must normalize it to TIMESTAMP_LTZ so every ts-consuming
+    query (epoch casts, watermarks, windows) is immune to flavor."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from koalas_spark.sources.io import normalize_event_time
+
+    path = f"{TMP}/ntz_events"
+    shutil.rmtree(path, ignore_errors=True)
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 03:00:00"]
+                ),
+                pa.timestamp("us"),  # no tz -> Spark reads TIMESTAMP_NTZ
+            ),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{path}/part0.parquet")
+
+    raw = spark.read.parquet(path)
+    from pyspark.sql import types as T
+
+    assert isinstance(raw.schema["ts"].dataType, T.TimestampNTZType)
+    df = normalize_event_time(raw)
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    # epoch cast works and preserves the wall-clock micros (UTC session)
+    secs = [r.s for r in df.select(F.col("ts").cast("long").alias("s")).orderBy("s").collect()]
+    assert secs == [1704067200, 1704070800, 1704078000]
+    # watermark analysis accepts the normalized column (batch plan check)
+    df.withWatermark("ts", "1 hour").groupBy(F.window("ts", "1 hour")).count().schema
+    shutil.rmtree(path, ignore_errors=True)

@@ -122,3 +122,27 @@ def test_multimodal_stub(spark):
     assert got[2] == (6, "text/plain")  # ö is 2 UTF-8 bytes
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG")
+
+
+def test_simhash_null_empty_policy(spark):
+    """Pin the NULL/empty-doc policy: NULL text and empty/whitespace
+    text both fingerprint to simhash 0 and stay in the output — so
+    degenerate docs dedup against each other (hamming 0) rather than
+    silently disappearing or crashing the Arrow batch."""
+    df = spark.createDataFrame(
+        [(0, "real document with several words"),
+         (1, None),
+         (2, ""),
+         (3, "   ")],
+        "doc_id long, text string",
+    )
+    sims = simhash64(df, "doc_id", "text")
+    vals = {r["id"]: r["simhash"] for r in sims.collect()}
+    assert set(vals) == {0, 1, 2, 3}  # nothing dropped
+    assert vals[1] == 0 and vals[2] == 0 and vals[3] == 0
+    assert vals[0] != 0
+    pairs = simhash_near_pairs(sims, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    # the three degenerate docs pairwise collapse at hamming 0
+    for a, b in [(1, 2), (1, 3), (2, 3)]:
+        assert got[(a, b)] == 0

@@ -91,12 +91,15 @@ def test_minhash_verify_broadcasts_pairs_not_corpus(spark):
     pairs = lsh_candidate_pairs(sigs, bands=8, rows=4)
     ver = verify_pairs_jaccard(pairs, base, 0.5)
     plan = _plan(ver)
-    # two broadcast joins (id_a, id_b), each building on the pairs side:
-    # the build side carries id_a/id_b, not the shingles column
-    assert plan.count("BroadcastHashJoin") >= 2
-    for chunk in plan.split("BroadcastExchange")[1:]:
-        head = chunk[:400]
-        assert "shingles" not in head.split("Input")[0]
+    # the verify joins hint shuffle_hash with the (small) pairs side as
+    # build — a forced broadcast would OOM executors at scale, and AQE
+    # still upgrades to broadcast at runtime when the pair set is tiny.
+    # The shingles column must never land on a hash-build side.
+    assert plan.count("ShuffledHashJoin") >= 2
+    import re
+
+    for m in re.finditer(r"ShuffledHashJoin .*?(BuildLeft|BuildRight)", plan):
+        assert "shingles" not in m.group(0)
 
 
 def test_ivf_broadcasts_centroids(spark):
