@@ -353,6 +353,15 @@ def exact_jaccard_pairs(
             )
         ).alias("shingles"),
     )
+    # materialize the per-doc shingle frame once: the self-join below
+    # otherwise recomputes the tokenize+shingle+hash pipeline on BOTH
+    # sides (Catalyst does not reuse the exchange across the a/b
+    # aliases — measured 1.6s -> 1.2s at sf0.1). One array row per doc
+    # (corpus-scale, ~the size of the input scan) lands in executor
+    # storage; the cost stays linear at 100 TB while double-compute
+    # would not, and the lineage cut lets AQE size the join from the
+    # materialized stats.
+    sh = sh.localCheckpoint(eager=False)
     ex = sh.select(
         "id", "blk", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )

@@ -5,9 +5,11 @@ from pyspark.sql import functions as F
 from koalas_spark.operators.graph import connected_components
 
 
-def _comps(spark, pairs):
+def _comps(spark, pairs, driver_edge_limit=0):
+    # driver_edge_limit=0 forces the distributed LP path; the
+    # size-gated driver union-find is covered by its own tests below
     edges = spark.createDataFrame(pairs, "src long, dst long")
-    rows = connected_components(edges).collect()
+    rows = connected_components(edges, driver_edge_limit=driver_edge_limit).collect()
     got = {}
     for r in rows:
         got.setdefault(r["comp"], set()).add(r["node"])
@@ -41,7 +43,9 @@ def test_star_graph_single_round_shape(spark):
 
 def _comps_star(spark, pairs, max_iter=50):
     edges = spark.createDataFrame(pairs, "src long, dst long")
-    rows = connected_components(edges, algorithm="star", max_iter=max_iter).collect()
+    rows = connected_components(
+        edges, algorithm="star", max_iter=max_iter, driver_edge_limit=0
+    ).collect()
     got = {}
     for r in rows:
         got.setdefault(r["comp"], set()).add(r["node"])
@@ -88,3 +92,26 @@ def test_star_algo_random_graphs_match_lp(spark):
         if a != b:
             pairs.append((a, b))
     assert _comps_star(spark, pairs) == _comps(spark, pairs)
+
+
+# ---------------- size-gated driver union-find ----------------
+
+
+def test_driver_fast_path_matches_distributed(spark):
+    for pairs in (
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(1, 2), (2, 3), (1, 3), (10, 11)],
+        [(9, 4), (4, 7), (100, 9)],
+        [(5, i) for i in range(6, 20)],
+        [(7, 7), (1, 2)],
+    ):
+        fast = _comps(spark, pairs, driver_edge_limit=1_000_000)
+        assert fast == _comps(spark, pairs, driver_edge_limit=0)
+
+
+def test_driver_gate_respects_limit(spark):
+    # 10 edges, limit 5 -> must take the distributed path and still be
+    # correct (i.e. the gate only ever changes the strategy, never the
+    # answer)
+    pairs = [(i, i + 1) for i in range(10)]
+    assert _comps(spark, pairs, driver_edge_limit=5) == [list(range(11))]
