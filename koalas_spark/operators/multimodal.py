@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery — schema, Arrow batching through
-mapInPandas, partition sizing — is real and tested; the actual media
-decode is STUBBED (decode libs are not in this container) behind
-``decode_stub`` which raises NotImplementedError, with a deterministic
-fake used by ``extract_meta`` so the pipeline is end-to-end runnable.
+mapInPandas, partition sizing — is real and tested. Uncompressed
+raster formats (netpbm P5/P6, BMP 8/24-bit) are decoded FOR REAL by a
+pure-numpy parser (``decode_image``); compressed/other media (PNG,
+JPEG, audio, video) still raise ``NotImplementedError`` because their
+codec libraries are not in this container — plugging PIL/ffmpeg into
+``decode_image`` is the only change a real deployment makes.
 
 At 100 TB: binary payloads ride in the same parquet row groups;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory, and the
@@ -17,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -31,11 +34,129 @@ def with_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("blob", F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_stub(blob: bytes) -> object:
-    """Media decode placeholder. Real deployments plug PIL/ffmpeg here."""
-    raise NotImplementedError(
-        "media decode requires image/audio libs not present in this container"
+# ---------------- real raster codecs (pure numpy) ----------------
+
+KIND_PGM = "image/x-portable-graymap"
+KIND_PPM = "image/x-portable-pixmap"
+KIND_BMP = "image/bmp"
+
+
+def sniff_kind(blob: bytes) -> str:
+    """Magic-byte media sniff for the formats the decoder understands;
+    everything else is treated as a text payload."""
+    if blob[:2] == b"P5":
+        return KIND_PGM
+    if blob[:2] == b"P6":
+        return KIND_PPM
+    if blob[:2] == b"BM":
+        return KIND_BMP
+    return "text/plain"
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Binary PGM (P5, maxval 255) from an (h, w) uint8 array."""
+    h, w = img.shape
+    return f"P5 {w} {h} 255\n".encode() + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h, w, 3) uint8 array."""
+    h, w, _ = img.shape
+    return f"P6 {w} {h} 255\n".encode() + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def _netpbm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse ``n_tokens`` ASCII integers after the 2-byte magic,
+    honoring '#' comments and arbitrary whitespace; returns the values
+    and the offset of the first raster byte (one whitespace char after
+    the last header token, per the spec)."""
+    i, toks = 2, []
+    while len(toks) < n_tokens:
+        c = buf[i : i + 1]
+        if not c:
+            raise ValueError("truncated netpbm header")
+        if c == b"#":
+            while buf[i : i + 1] not in (b"\n", b""):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while buf[j : j + 1] and not buf[j : j + 1].isspace():
+                j += 1
+            toks.append(int(buf[i:j]))
+            i = j
+    if not buf[i : i + 1].isspace():
+        raise ValueError("netpbm header not terminated by whitespace")
+    return toks, i + 1
+
+
+def _decode_netpbm(buf: bytes) -> tuple[np.ndarray, str]:
+    (w, h, maxval), off = _netpbm_header(buf, 3)
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported netpbm geometry {w}x{h} maxval {maxval}")
+    channels = 3 if buf[:2] == b"P6" else 1
+    need = w * h * channels
+    if len(buf) - off < need:
+        raise ValueError("truncated netpbm raster")
+    data = np.frombuffer(buf, np.uint8, count=need, offset=off)
+    if channels == 3:
+        return data.reshape(h, w, 3), KIND_PPM
+    return data.reshape(h, w), KIND_PGM
+
+
+def _decode_bmp(buf: bytes) -> tuple[np.ndarray, str]:
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError("compressed BMP not supported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"{bpp}-bpp BMP not supported")
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP geometry {w}x{h}")
+    row_bytes = (w * (bpp // 8) + 3) & ~3  # rows pad to 4-byte boundary
+    if len(buf) - off < row_bytes * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(buf, np.uint8, count=row_bytes * h, offset=off).reshape(
+        h, row_bytes
     )
+    if bpp == 8:
+        img = rows[:, :w]  # palette indices; gray palettes are identity
+    else:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img), KIND_BMP
+
+
+def decode_image(blob: bytes) -> tuple[np.ndarray, str]:
+    """Decode an uncompressed raster blob to (pixels, media kind).
+
+    Pure numpy: netpbm P5 -> (h, w) uint8, P6 -> (h, w, 3) uint8, BMP
+    (8/24-bit, uncompressed) -> same shapes. Compressed formats raise
+    NotImplementedError — the container carries no codec libs, and a
+    real deployment swaps PIL/ffmpeg in HERE without touching any
+    Spark plumbing."""
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_netpbm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    raise NotImplementedError(
+        "compressed/unknown media requires codec libs not present in this container"
+    )
+
+
+# backwards-compatible name: the decode entry point used to be a pure
+# stub; it now really decodes raster formats and only raises for media
+# that needs external codecs
+decode_stub = decode_image
 
 
 def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -53,12 +174,65 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf["blob"].map(len).astype("int64"),
-                    # kind sniff: real impl would dispatch on magic bytes
-                    "kind": "text/plain",
+                    "kind": pdf["blob"].map(lambda b: sniff_kind(bytes(b))),
                 }
             )
 
     return df.select(id_col, "blob").mapInPandas(op, schema=META_SCHEMA)
+
+
+def decode_resize_reencode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    target_w: int = 8,
+    target_h: int = 8,
+) -> DataFrame:
+    """REAL image pipeline: decode raster blob → nearest-neighbor
+    resize → re-encode, through Arrow-batched mapInPandas.
+
+    Unlike ``resize_frames`` (which views raw bytes as a raster), this
+    path parses actual image container bytes with ``decode_image``
+    (netpbm/BMP headers, row padding, channel order) and writes back a
+    valid netpbm file per row. Undecodable blobs pass through with
+    null kind/dims — the malformed-media path — rather than failing
+    the task, since at 100 TB a crawl shard ALWAYS contains junk
+    bytes. Shuffle-free: the decode fan-out happens where the rows
+    sit, one Arrow batch at a time."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ws, hs, blobs = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    img, kind = decode_image(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    kinds.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    blobs.append(None)
+                    continue
+                ys = (np.arange(target_h) * img.shape[0]) // target_h
+                xs = (np.arange(target_w) * img.shape[1]) // target_w
+                small = img[np.ix_(ys, xs)]
+                out = encode_ppm(small) if img.ndim == 3 else encode_pgm(small)
+                kinds.append(kind)
+                ws.append(target_w)
+                hs.append(target_h)
+                blobs.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kind": kinds,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "resized": blobs,
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(
+        op, schema="doc_id bigint, kind string, width int, height int, resized binary"
+    )
 
 
 def frame_sample(

@@ -67,6 +67,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_histogram_features(with_blob(docs, "text"), "doc_id", bins=16)
 
 
+# 130. REAL image decode→resize→re-encode: each doc's first 256 bytes
+# become an actual 16x16 binary PGM (valid netpbm container, built
+# JVM-side: ASCII header ++ byte raster), which decode_image parses
+# for real — header tokenizer, geometry, raster offset — then
+# nearest-neighbor resizes to 8x8 and re-encodes as PGM. The oracle
+# reconstructs the resized file byte-for-byte in SQL: with fixed
+# 16->8 geometry the gather is pixel (2i, 2j), i.e. char position
+# (k//8)*32 + (k%8)*2 + 1 of the raster (corpus is ASCII, so DuckDB
+# chars == Spark bytes), prepended with the same 'P5 8 8 255\n'
+# header and sha256'd — a full-value check that the decoder read the
+# container correctly, not just that rows came back.
+@query(
+    "multimodal_decode_resize",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 256) AS raster
+  FROM documents WHERE octet_length(encode(text)) >= 256)
+SELECT doc_id, 'image/x-portable-graymap' AS kind,
+       8 AS width, 8 AS height,
+       sha256('P5 8 8 255' || chr(10) ||
+              array_to_string(list_transform(range(0, 64),
+                  k -> substring(raster, (k // 8) * 32 + (k % 8) * 2 + 1, 1)), ''))
+           AS resized_sha
+FROM src
+""",
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import decode_resize_reencode
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5 16 16 255\n"), "UTF-8"),
+            F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256),
+        ).alias("blob"),
+    )
+    out = decode_resize_reencode(pgm, "doc_id", target_w=8, target_h=8)
+    return out.select(
+        "doc_id", "kind", "width", "height", F.sha2("resized", 256).alias("resized_sha")
+    )
+
+
 # 122. resize — nearest-neighbor byte-raster downsample through the
 # Arrow batch path (the PIL/cv2 resize shape). The numpy gather is not
 # SQL-expressible, so the query is rows-only; tests/test_multimodal.py

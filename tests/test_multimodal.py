@@ -74,3 +74,131 @@ def test_resize_frames_matches_python(spark):
         want = img[np.ix_(ys, xs)].tobytes()
         assert got[row.doc_id] == (want, 8, 8)
     assert len(got) == 50
+
+
+# ---------------- real raster codecs ----------------
+
+
+def test_decode_netpbm_with_comments_and_whitespace():
+    from koalas_spark.operators.multimodal import decode_image
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    # spec-torturing header: comments, CRLF, multi-space
+    blob = b"P5\n# a comment\n  4 # inline\n3\r\n255\n" + img.tobytes()
+    got, kind = decode_image(blob)
+    assert kind == "image/x-portable-graymap"
+    np.testing.assert_array_equal(got, img)
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    blob6 = b"P6 4 2 255\n" + rgb.tobytes()
+    got6, kind6 = decode_image(blob6)
+    assert kind6 == "image/x-portable-pixmap"
+    np.testing.assert_array_equal(got6, rgb)
+
+
+def test_pgm_roundtrip():
+    from koalas_spark.operators.multimodal import decode_image, encode_pgm, encode_ppm
+
+    img = (np.arange(64, dtype=np.uint8) * 3).reshape(8, 8)
+    got, _ = decode_image(encode_pgm(img))
+    np.testing.assert_array_equal(got, img)
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    got3, _ = decode_image(encode_ppm(rgb))
+    np.testing.assert_array_equal(got3, rgb)
+
+
+def _bmp24(img):
+    """Hand-build an uncompressed bottom-up 24-bit BMP from (h,w,3) RGB."""
+    h, w, _ = img.shape
+    row = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, b = img[y, x]
+            line += bytes([b, g, r])  # BGR on disk
+        line += b"\x00" * (row - len(line))
+        raster += line
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_decode_bmp_24bit_padding_and_flip():
+    from koalas_spark.operators.multimodal import decode_image
+
+    # w=3 -> 9-byte rows pad to 12: exercises padding AND bottom-up flip
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    got, kind = decode_image(_bmp24(img))
+    assert kind == "image/bmp"
+    np.testing.assert_array_equal(got, img)
+
+
+def test_decode_unknown_raises():
+    from koalas_spark.operators.multimodal import decode_image
+
+    for blob in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0JFIF", b"plain text"):
+        try:
+            decode_image(blob)
+            raised = False
+        except NotImplementedError:
+            raised = True
+        assert raised
+    # structurally-invalid known formats raise ValueError, not crash
+    for blob in (b"P5 4 3 255\nxx", b"BM" + b"\x00" * 10):
+        try:
+            decode_image(blob)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
+
+def test_decode_resize_reencode_real_rasters(spark):
+    from koalas_spark.operators.multimodal import (
+        decode_image,
+        decode_resize_reencode,
+        encode_pgm,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, size=(16, 16), dtype=np.uint8) for i in range(6)}
+    rows = [(i, bytearray(encode_pgm(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"\x89PNG not an image")))  # malformed path
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = decode_resize_reencode(df, "doc_id", target_w=4, target_h=4)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[99].kind is None and got[99].resized is None
+    for i, img in imgs.items():
+        ys = (np.arange(4) * 16) // 4
+        xs = (np.arange(4) * 16) // 4
+        want = img[np.ix_(ys, xs)]
+        dec, kind = decode_image(bytes(got[i].resized))
+        assert kind == "image/x-portable-graymap"
+        assert (got[i].width, got[i].height) == (4, 4)
+        np.testing.assert_array_equal(dec, want)
+
+
+def test_extract_meta_sniffs_image_kinds(spark):
+    from koalas_spark.operators.multimodal import encode_pgm, extract_meta
+
+    pgm = encode_pgm(np.zeros((2, 2), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(pgm)), (2, bytearray(b"hello"))], "doc_id long, blob binary"
+    )
+    got = {r.doc_id: (r.kind, r.n_bytes) for r in extract_meta(df).collect()}
+    assert got[1] == ("image/x-portable-graymap", len(pgm))
+    assert got[2] == ("text/plain", 5)
