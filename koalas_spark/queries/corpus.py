@@ -19,11 +19,15 @@ from koalas_spark.functions.textfn import tokens, word_shingles
 
 
 # --------------------------------------------------------------------
-# 109. TF-IDF top terms per language. Term frequencies partial-agg on
-# (lang, term); df on term; N broadcasts as a 1-row frame. The final
-# per-lang top-3 is a WindowGroupLimit rank (each partition ships 3
-# rows, not its vocabulary). Score = tf * (N*1e6 div df): exact
-# integers end-to-end.
+# 109. TF-IDF top terms per language. ONE pass over the exploded
+# tokens: pre-aggregate to (term, lang, doc_id) counts (map-side
+# combine collapses repeated terms per doc before the shuffle), then
+# both tf (sum over docs) and df (distinct docs) derive from the
+# materialized pre-agg — deriving them from the raw token frame would
+# tokenize+explode the corpus twice. N broadcasts as a 1-row frame.
+# The final per-lang top-3 is a WindowGroupLimit rank (each partition
+# ships 3 rows, not its vocabulary). Score = tf * (N*1e6 div df):
+# exact integers end-to-end.
 @query(
     "tfidf_top_terms",
     oracle="""
@@ -49,8 +53,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    g1 = (
+        tok.groupBy("term", "lang", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tf = g1.groupBy("lang", "term").agg(F.sum("c").alias("tf"))
+    df_ = g1.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(df_, "term")
