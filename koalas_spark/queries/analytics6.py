@@ -651,3 +651,51 @@ def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority")
     )
     return agg.transpose(F.col("o_orderpriority"))
+
+
+# --------------------------------------------------------------------
+# 132. SCD2 interval build (gaps-and-islands): collapse each user's
+# consecutive runs of the same event_type into validity intervals —
+# the slowly-changing-dimension shape every warehouse ingest needs
+# (state history from a change stream). The island id is the
+# rn - rn_per_state difference: two window row_numbers over the SAME
+# (user_id, ts, event_id) sort, so Catalyst evaluates both in ONE
+# window stage over ONE shuffle on user_id; the interval collapse is
+# then a partial-aggregated groupBy on the same key, and AQE
+# coalesces. No joins, no self-comparison — O(n) at any scale.
+@query(
+    "scd2_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+  FROM events)
+SELECT user_id, event_type,
+       MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+       COUNT(*) AS n_events
+FROM seq
+GROUP BY user_id, event_type, island
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_state)).alias("island"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("island")
+    )

@@ -573,3 +573,66 @@ def shard_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------------------
+# 131. temperature-based language rebalancing (the mT5/XLM-R
+# multilingual recipe): head languages are downsampled toward the
+# tail with rate_l = min(1, (c_max / c_l) ** (1 - alpha)) at
+# alpha = 0.5, i.e. sqrt(c_max / c_l). The formulation is PAIRWISE
+# against the largest language rather than a normalized sum of
+# powers: IEEE sqrt and division are correctly rounded in every
+# engine, while a cross-language Σ c_l^alpha would make the keep
+# thresholds depend on double summation order — not reproducible
+# between Spark and an oracle (or between two cluster layouts).
+# The per-language rate becomes a 16-bit integer threshold compared
+# against the doc's md5 coin, so the sample is a pure per-row
+# predicate: deterministic, shuffle-free, partitioning-independent.
+# The one shuffle is the tiny per-language count; it broadcasts back.
+@query(
+    "lang_temperature_resample",
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MAX(cnt) AS cmax FROM c),
+r AS (
+  SELECT lang, cnt,
+         CAST(FLOOR(65536 * LEAST(1.0, SQRT(CAST(cmax AS DOUBLE) / cnt))) AS BIGINT)
+           AS thresh
+  FROM c CROSS JOIN m)
+SELECT d.lang,
+       CAST(MAX(r.cnt) AS BIGINT)       AS n_before,
+       COUNT(*)                         AS n_kept,
+       CAST(MAX(r.thresh) AS BIGINT)    AS thresh
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE r.thresh >= 65536
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thresh)
+GROUP BY d.lang
+""",
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    cmax = counts.agg(F.max("cnt").alias("cmax"))
+    rates = (
+        counts.crossJoin(F.broadcast(cmax))
+        .withColumn(
+            "thresh",
+            F.floor(
+                65536
+                * F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.col("cmax").cast("double") / F.col("cnt")),
+                )
+            ).cast("bigint"),
+        )
+        .select("lang", "cnt", "thresh")
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        (F.col("thresh") >= 65536)
+        | (_coin(F.col("doc_id")) < F.format_string("%04x", F.col("thresh").cast("int")))
+    )
+    return kept.groupBy("lang").agg(
+        F.max("cnt").cast("bigint").alias("n_before"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("thresh").cast("bigint").alias("thresh"),
+    )

@@ -130,3 +130,46 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_session_counts
 
     return stream_session_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# 133. distinct users per window through the streaming engine:
+# watermarked dedup state on (window, user_id), append-mode emission,
+# batch-side count — exact streaming distinct is only expressible as
+# dedup-then-count, which is the production pattern pinned here.
+@query(
+    "stream_windowed_distinct_users",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_windowed_distinct_users as op
+
+    return op(spark, f"{sf_dir}/events.parquet")
+
+
+# 134. streaming → parquet lake via foreachBatch with per-batch
+# overwrite (idempotent replay = exactly-once sink on top of
+# checkpointed offsets); the read-back lake must aggregate identically
+# to the batch source, which is the oracle.
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from koalas_spark.streaming.windows import stream_foreachbatch_parquet
+
+    src = os.path.join(sf_dir, "events.parquet")
+    # key the lake by (sf dir, source mtime): regenerated testdata
+    # restages instead of serving a stale lake
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.stat(src).st_mtime)}"
+    out = os.path.join("/root/repo/.tmp", f"fb_lake_{tag}")
+    return stream_foreachbatch_parquet(spark, src, out)

@@ -218,3 +218,81 @@ def stream_session_counts(
         ),
         output_mode="complete",
     )
+
+
+def stream_windowed_distinct_users(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Distinct users per tumbling window through the STREAMING
+    engine: watermarked dropDuplicates on (window, user_id) holds one
+    state row per pair and evicts whole windows as the watermark
+    passes (the window column carries event-time, so state is
+    bounded); first occurrences emit immediately in append mode, and
+    the per-window counting happens batch-side on the sink table —
+    the same emit-then-summarize shape as the interval join. Exact
+    COUNT(DISTINCT) per window is not streamable as a single agg
+    (distinct aggregations are unsupported on streams; approx_* is
+    the streaming-native alternative), so dedup-state + downstream
+    count IS the production pattern this query pins."""
+    src = _staged_events_stream(spark, events_path, "du")
+    pairs = (
+        src.withWatermark("ts", watermark)
+        .select(F.window("ts", window).alias("w"), F.col("user_id"))
+        .dropDuplicates(["w", "user_id"])
+    )
+    return _run_to_memory(
+        spark,
+        pairs,
+        lambda t: t.groupBy(F.col("w.start").alias("window_start")).agg(
+            F.count(F.lit(1)).alias("n_users")
+        ),
+        output_mode="append",
+    )
+
+
+def stream_foreachbatch_parquet(
+    spark: SparkSession, events_path: str, out_dir: str
+) -> DataFrame:
+    """Streaming → parquet lake via foreachBatch, the production sink
+    shape: each micro-batch OVERWRITES its own batch_id=N directory,
+    so a replayed batch (at-least-once delivery after recovery)
+    rewrites the same path instead of duplicating rows — idempotent
+    writes on top of checkpointed offsets is how exactly-once parquet
+    sinks are actually built. Returns the re-read lake aggregated per
+    event_type, which must equal the batch aggregation of the source
+    (the oracle)."""
+    import shutil
+
+    src = _staged_events_stream(spark, events_path, "fb")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+        )
+
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ckpt = out_dir + "_ckpt"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            src.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    lake = spark.read.parquet(out_dir)
+    return lake.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+    )
