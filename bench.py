@@ -68,6 +68,9 @@ HEADLINE = [
     "zorder_box_scan",
     "shard_roundtrip_stats",
     "pipeline_curation_funnel",
+    "scd2_intervals",
+    "lang_temperature_resample",
+    "multimodal_decode_resize",
 ]
 
 

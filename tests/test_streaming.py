@@ -30,3 +30,59 @@ def test_stateful_sessions_subset_of_batch(spark):
     # the stream should emit the large majority of sessions; only the
     # per-user trailing ones may be retained in state
     assert len(streamed) >= 0.5 * len(batch)
+
+
+def test_foreachbatch_sink_replay_idempotent(spark, tmp_path):
+    """The exactly-once claim: re-running the stream over the same
+    source (checkpoint wiped, as after a catastrophic recovery) must
+    OVERWRITE each batch directory, not append duplicates — the lake
+    aggregates identically both times."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from koalas_spark.streaming.windows import stream_foreachbatch_parquet
+
+    out = str(tmp_path / "lake")
+    src = f"{SF_SMOKE}/events.parquet"
+
+    def totals():
+        df = stream_foreachbatch_parquet(spark, src, out)
+        row = df.agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("sum_value").cast("decimal(25,6)")).cast("double").alias("s"),
+        ).collect()[0]
+        return (row.n, row.s)
+
+    first = totals()
+    # second call short-circuits on the _DONE marker (idempotent rerun)
+    assert totals() == first
+    # crash-recovery shape: _DONE lost, checkpoint lost, lake still on
+    # disk -> the replay must overwrite, not duplicate
+    import os
+
+    os.remove(os.path.join(out, "_DONE"))
+    shutil.rmtree(out + "_ckpt", ignore_errors=True)
+    assert totals() == first
+
+
+def test_windowed_distinct_users_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from koalas_spark.queries.analytics import _load_events
+    from koalas_spark.streaming.windows import stream_windowed_distinct_users
+
+    got = {
+        (r.window_start, r.n_users)
+        for r in stream_windowed_distinct_users(
+            spark, f"{SF_SMOKE}/events.parquet"
+        ).collect()
+    }
+    want = {
+        (r.ws, r.n)
+        for r in _load_events(spark, SF_SMOKE)
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
