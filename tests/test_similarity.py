@@ -18,3 +18,42 @@ def test_ivf_nprobe_all_cells_equals_bruteforce(spark):
     a = sorted(map(tuple, ivf_all.collect()))
     b = sorted(map(tuple, bf.collect()))
     assert a == b and a
+
+
+def test_int8_quantized_topk_recall(spark):
+    """int8 quantization must barely perturb the ranking: recall@5 of
+    the quantized top-k vs the exact brute force should be high, and
+    quantized scores must be integers reproducible from numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from koalas_spark.operators.similarity import (
+        brute_force_topk,
+        int8_brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+    quant = int8_brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    qt = {}
+    qrows = quant.collect()
+    for r in qrows:
+        qt.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[p] & qt[p]) / len(ex[p]) for p in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # spot-check the integer dot against an independent numpy quantize
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def q(v):
+        amax = np.abs(v).max()
+        if amax == 0:
+            return np.zeros_like(v, dtype=np.int64)
+        return np.floor(v * 127.0 / amax + 0.5).astype(np.int64)
+
+    for r in qrows[:10]:
+        want = int(q(vecs[r.probe_id]) @ q(vecs[r.neighbor_id]))
+        assert r.qdot == want
