@@ -159,3 +159,60 @@ def test_q21_scans_lineitem_once(spark):
     plan = _plan(q21_waiting_supplier(spark, SF_SMOKE))
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("orders.parquet") == 1
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A filtered dim joined on the fact's partition column must inject
+    a dynamicpruning subquery into the fact scan — at 100 TB this is
+    the difference between scanning 5 directories and 5000. The dim
+    filter is required: DPP only triggers off a selective predicate on
+    the build side (here it also reuses the broadcast exchange)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "fact_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("en", "keep"), ("fr", "keep"), ("de", "drop"), ("es", "drop"), ("it", "drop")],
+        "lang string, tag string",
+    )
+    j = fact.join(dim.filter(F.col("tag") == "keep"), "lang").groupBy("tag").count()
+    plan = j._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()
+    # and it actually prunes: only the two kept partitions are read
+    assert j.collect()[0]["count"] == docs.filter(F.col("lang").isin("en", "fr")).count()
+
+
+def test_runtime_bloom_filter_fires(spark):
+    """A selective filter on one side of a shuffle join must inject a
+    runtime bloom filter on the probe side, cutting shuffled rows
+    before the exchange. The size thresholds exist because building a
+    bloom filter only pays off against a big scan (default 10 GB
+    application side) — local test data never qualifies, so the test
+    lowers them to prove the wiring; at production scale the defaults
+    fire on their own."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ord_ = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        sel = ord_.filter(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
