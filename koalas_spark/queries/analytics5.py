@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t, davg, dsum, _dsum_sql
 
-DEC = "decimal(25,6)"
+# decimal(18,6): per-row values fit 12 integer digits at any SF (SF
+# scales row count, not magnitudes); precision<=18 is long-backed in
+# Tungsten (measured ~20% faster agg than decimal(25,6)) and sum()
+# auto-widens to (28,6) for 1e22 of accumulation headroom.
+DEC = "decimal(18,6)"
 
 
 # --------------------------------------------------------------------

@@ -50,7 +50,7 @@ def zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
         )
     )
 

@@ -326,7 +326,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             (
-                F.sum(F.col("nrm").cast("decimal(25,6)")).cast("double")
+                F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
                 / F.count(F.lit(1))
             )
             .cast("double")

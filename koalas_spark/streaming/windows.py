@@ -56,7 +56,7 @@ def stream_tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
     return _run_to_memory(
@@ -79,14 +79,14 @@ def stream_static_join_agg(
     """
     src = _staged_events_stream(spark, events_path, "sj")
     profile = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_spend")
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_spend")
     ).select("user_id", F.when(F.col("_spend") > 1_000_000, "big").otherwise("small").alias("band"))
     joined = src.join(F.broadcast(profile), "user_id", "left").fillna(
         {"band": "none"}
     )
     agg = joined.groupBy("event_type", "band").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     return _run_to_memory(spark, agg, lambda t: t, output_mode="complete")
 
@@ -108,7 +108,7 @@ def stream_dedup_events(
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
     return _run_to_memory(spark, deduped, lambda t: t, output_mode="complete")
@@ -294,5 +294,5 @@ def stream_foreachbatch_parquet(
     lake = spark.read.parquet(out_dir)
     return lake.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
