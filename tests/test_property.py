@@ -132,3 +132,99 @@ def test_gap_sessionization_matches_bruteforce(spark, ts):
         cur.append(t)
     want.append((cur[0], cur[-1], len(cur)))
     assert got == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    )
+)
+def test_cc_driver_path_matches_networkless_reference(spark, edges):
+    """Driver union-find vs an independent pure-python reachability
+    closure on random edge soups (self-loops included)."""
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long"
+    )
+    got = {}
+    for r in connected_components(edf, driver_edge_limit=10**6).collect():
+        got.setdefault(r["comp"], set()).add(r["node"])
+    # reference: repeated closure
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, want = set(), []
+    for n in sorted(adj):
+        if n in seen:
+            continue
+        comp, stack = set(), [n]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        want.append(comp)
+    assert sorted(map(sorted, got.values())) == sorted(map(sorted, want))
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_int8_quantize_error_bound(spark, vecs):
+    """|v - q*amax/127| <= amax/254 per element (half-up rounding to a
+    127-step grid), and zero vectors quantize to zero."""
+    from koalas_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.x: (r.qv, r.qn) for r in int8_quantize(df, "vec_id", "embedding", "x")
+           .selectExpr("x", "_x_qv AS qv", "_x_qn AS qn").collect()}
+    import numpy as np
+
+    for i, v in enumerate(vecs):
+        v64 = np.array(v, dtype=np.float32).astype(np.float64)
+        amax = np.abs(v64).max()
+        qv = np.array(out[i][0], dtype=np.int64)
+        if amax == 0:
+            assert (qv == 0).all() and out[i][1] == 0
+            continue
+        recon = qv * (amax / 127.0)
+        assert np.max(np.abs(v64 - recon)) <= amax / 127.0 / 2 + 1e-9
+        assert out[i][1] == int(qv @ qv)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["pgm", "ppm"]),
+)
+def test_netpbm_roundtrip_random_rasters(w, h, seed, fmt):
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import decode_image, encode_pgm, encode_ppm
+
+    rng = np.random.default_rng(seed)
+    if fmt == "pgm":
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        blob = encode_pgm(img)
+    else:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_ppm(img)
+    got, _ = decode_image(blob)
+    np.testing.assert_array_equal(got, img)
