@@ -699,3 +699,43 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+# --------------------------------------------------------------------
+# 136. recursive hierarchy rollup (Spark 4 WITH RECURSIVE): aggregate
+# every node's whole subtree in the implicit binary tree parent(x) =
+# x DIV 2 over doc ids — the org-chart / BOM / category-tree rollup
+# every warehouse eventually needs, expressed as the standard
+# ancestor-expansion recursive CTE. Termination is structural: the
+# ancestor column halves per level, so depth = log2(max_id) (~13 at
+# sf0.1, ~40 even at 1e12 ids) and each (node, ancestor) pair derives
+# exactly once along its unique root path — UNION ALL semantics with
+# no duplicate blow-up (Spark does not yet support dedup UNION in
+# recursion). Each level is one map over the previous level's rows;
+# the closing groupBy is the only shuffle.
+@query(
+    "recursive_subtree_rollup",
+    oracle="""
+WITH RECURSIVE up(node, anc, n_chars) AS (
+  SELECT doc_id, doc_id, n_chars FROM documents
+  UNION ALL
+  SELECT node, anc // 2, n_chars FROM up WHERE anc > 0)
+SELECT anc AS node, COUNT(*) AS subtree_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS subtree_chars
+FROM up GROUP BY anc
+""",
+)
+def recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", "n_chars").createOrReplaceTempView("_rollup_docs")
+    return spark.sql(
+        """
+WITH RECURSIVE up(node, anc, n_chars) AS (
+  SELECT doc_id, doc_id, n_chars FROM _rollup_docs
+  UNION ALL
+  SELECT node, anc DIV 2, n_chars FROM up WHERE anc > 0)
+SELECT anc AS node, COUNT(*) AS subtree_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS subtree_chars
+FROM up GROUP BY anc
+"""
+    )
