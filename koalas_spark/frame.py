@@ -172,6 +172,22 @@ class KFrame:
             expr = F.expr(expr)
         return self._df.select(expr.alias(alias))
 
+    def apply_batch(self, fn, schema: str) -> "KFrame":
+        """Arbitrary-Python row map (reference apply with a D lambda,
+        dataframe.d:252) for logic no Column expression can express.
+
+        The escape hatch is Arrow-batched mapInPandas — ``fn`` receives
+        and returns pandas DataFrames, runs where the partitions sit,
+        and never collects to the driver; still ~10-100x faster than a
+        row-at-a-time Python UDF. Prefer ``apply`` (pure expressions,
+        whole-stage codegen) whenever the logic is expressible."""
+
+        def op(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return KFrame(self._df.mapInPandas(op, schema=schema))
+
     # -- groupby -------------------------------------------------------
     def groupby(self, *keys: str) -> "KGroupby":
         return KGroupby(self._df, list(keys))

@@ -111,3 +111,32 @@ def test_from_table_index_skip(tmp_path, spark):
     )
     assert df.columns == ["chrom", "pos"]
     assert sorted((r.chrom, r.pos) for r in df.collect()) == [("1", 2), ("q", 7)]
+
+
+def test_apply_batch_arbitrary_python(spark):
+    """Reference apply with an arbitrary (non-expressible) Python fn:
+    Arrow-batched, stays distributed, exact results."""
+    import pandas as pd
+
+    from koalas_spark.frame import KFrame
+
+    kf = KFrame(
+        spark.createDataFrame(
+            [(1, "ab"), (2, "xyz"), (3, "")], "id long, s string"
+        )
+    )
+
+    def fancy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # something Catalyst can't express: python's int.bit_count on a
+        # per-row derived value
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "bits": [int(i).bit_count() for i in pdf["id"] * 7],
+                "rev": [s[::-1] for s in pdf["s"]],
+            }
+        )
+
+    out = {r.id: (r.bits, r.rev) for r in
+           kf.apply_batch(fancy, "id long, bits int, rev string").df.collect()}
+    assert out == {1: ((7).bit_count(), "ba"), 2: ((14).bit_count(), "zyx"), 3: ((21).bit_count(), "")}

@@ -86,3 +86,45 @@ def test_windowed_distinct_users_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path):
+    """Spark 4 state-store data source: the checkpointed state of a
+    streaming aggregation is queryable as a table — the production
+    debugging path for 'what does my stream think right now' without
+    touching the running query. Contents must equal the batch twin."""
+    from pyspark.sql import functions as F
+
+    from koalas_spark.queries.analytics import _load_events
+    from koalas_spark.streaming.windows import _staged_events_stream
+
+    src = _staged_events_stream(spark, f"{SF_SMOKE}/events.parquet", "ssr")
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ssr_probe")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {
+        (r["key"]["event_type"], r["value"]["count"])
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in _load_events(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert state == want
