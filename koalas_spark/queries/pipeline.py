@@ -636,3 +636,44 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.max("thresh").cast("bigint").alias("thresh"),
     )
+
+
+# --------------------------------------------------------------------
+# 137. distribution-relative quality gate: drop every document below
+# its LANGUAGE's 10th percentile of n_chars — production quality
+# filters are set against the corpus distribution, not absolute
+# constants, because "short" means different things in different
+# languages/domains. Plan shape: the per-language thresholds are a
+# 5-row aggregate that broadcasts back onto the scan, so the gate is
+# one pass + one tiny broadcast at any corpus size. Threshold values
+# use exact interpolated percentiles (Spark percentile() ==
+# DuckDB quantile_cont), on integer inputs — deterministic division,
+# so both engines agree bit-for-bit.
+@query(
+    "length_percentile_filter",
+    oracle="""
+WITH th AS (
+  SELECT lang, quantile_cont(n_chars, 0.10) AS p10
+  FROM documents GROUP BY lang)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT)          AS n_kept,
+       ROUND(MAX(th.p10), 4)             AS p10_threshold,
+       CAST(MIN(d.n_chars) AS BIGINT)    AS min_kept_chars
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE d.n_chars >= th.p10
+GROUP BY d.lang
+""",
+)
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    th = d.groupBy("lang").agg(F.percentile("n_chars", F.lit(0.10)).alias("p10"))
+    return (
+        d.join(F.broadcast(th), "lang")
+        .filter(F.col("n_chars") >= F.col("p10"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(F.max("p10"), 4).alias("p10_threshold"),
+            F.min("n_chars").cast("bigint").alias("min_kept_chars"),
+        )
+    )
