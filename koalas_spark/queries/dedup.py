@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from koalas_spark.operators.dedup import (
@@ -231,4 +231,67 @@ def embedding_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_vecs") >= 2)
         .select(F.col("comp").alias("canonical_id"), "n_vecs", "members")
+    )
+
+
+# 138. incremental dedup against a fingerprint catalog — the daily
+# shape of production dedup: yesterday's corpus is represented ONLY by
+# its (tiny relative to text) fingerprint catalog; today's batch drops
+# (a) docs whose fingerprint already exists in the catalog (left-anti
+# join on the 128-bit fp — at scale the catalog side shuffles, text
+# never does, and a bloom/runtime filter prunes the probe) and (b)
+# intra-batch duplicates (min-id per class among the remainder). Here
+# the catalog is simulated as the fingerprints of doc_id < half.
+@query(
+    "incremental_dedup_catalog",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM documents),
+catalog AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+fresh AS (
+  SELECT b.* FROM batch b LEFT JOIN catalog c USING (fingerprint)
+  WHERE c.fingerprint IS NULL),
+kept AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS m
+    FROM fresh) t WHERE doc_id = m)
+SELECT source,
+       CAST((SELECT COUNT(*) FROM batch b2 WHERE b2.source = k.source) AS BIGINT)
+         AS n_batch,
+       COUNT(*) AS n_new
+FROM kept k GROUP BY source
+""",
+)
+def incremental_dedup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    # split point 250 matches the oracle (graded at sf0.01, 500 docs);
+    # at larger SFs the same id boundary simply makes a bigger batch
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+    )
+    catalog = fp.filter(F.col("doc_id") < 250).select("fingerprint").distinct()
+    batch = fp.filter(F.col("doc_id") >= 250)
+    fresh = batch.join(catalog, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        fresh.withColumn("_m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_m"))
+        .select("doc_id", "source")
+    )
+    batch_counts = batch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .join(batch_counts, "source")
+        .select("source", "n_batch", "n_new")
     )
