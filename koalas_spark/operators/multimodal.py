@@ -345,3 +345,121 @@ def resize_frames(
     return df.select(id_col, "blob").mapInPandas(
         op, schema="doc_id bigint, resized binary, width int, height int"
     )
+
+
+# ---------------- real audio codec (pure numpy) ----------------
+
+KIND_WAV = "audio/wav"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Canonical 44-byte-header mono PCM16 WAV from an int16 array."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = (
+        b"RIFF"
+        + (36 + n).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")      # PCM fmt chunk size
+        + (1).to_bytes(2, "little")       # audio format: PCM
+        + (1).to_bytes(2, "little")       # channels: mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")       # block align
+        + (16).to_bytes(2, "little")      # bits per sample
+        + b"data"
+        + n.to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM16 WAV: walks RIFF chunks (fmt then data wherever
+    they sit), validates PCM/16-bit, returns (samples int16, rate).
+    Compressed codecs raise NotImplementedError; malformed containers
+    raise ValueError."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise NotImplementedError("compressed WAV requires codec libs")
+    if bits != 16 or channels != 1:
+        raise NotImplementedError(f"{bits}-bit {channels}ch PCM not supported")
+    return np.frombuffer(data[: len(data) & ~1], dtype="<i2"), rate
+
+
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_samples: int = 400,
+) -> DataFrame:
+    """REAL audio pipeline: parse WAV containers, then per fixed-size
+    frame compute RMS energy and zero-crossing rate — the two features
+    every VAD/segmentation front-end starts from. Vectorized numpy per
+    Arrow batch (reshape to (n_frames, frame) then axis-1 reductions);
+    undecodable blobs pass through with null kind — the malformed-media
+    path. Shuffle-free: frames explode where the rows sit."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, rms, zcr, kinds = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                try:
+                    samples, _rate = decode_wav(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    ids.append(doc_id)
+                    fnos.append(None)
+                    rms.append(None)
+                    zcr.append(None)
+                    kinds.append(None)
+                    continue
+                nf = len(samples) // frame_samples
+                if nf == 0:
+                    ids.append(doc_id)
+                    fnos.append(None)
+                    rms.append(None)
+                    zcr.append(None)
+                    kinds.append(KIND_WAV)
+                    continue
+                fr = samples[: nf * frame_samples].reshape(nf, frame_samples)
+                # exact integer sum-of-squares, THEN one division + sqrt:
+                # both correctly rounded IEEE ops, so rms is bit-equal
+                # across engines (a float mean would depend on
+                # accumulation order)
+                xi = fr.astype(np.int64)
+                r = np.sqrt((xi * xi).sum(axis=1) / float(frame_samples))
+                neg = fr < 0
+                z = (neg[:, 1:] != neg[:, :-1]).sum(axis=1) / float(frame_samples - 1)
+                ids.extend([doc_id] * nf)
+                fnos.extend(range(nf))
+                rms.extend(np.round(r, 6))
+                zcr.extend(np.round(z, 6))
+                kinds.extend([KIND_WAV] * nf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(fnos, dtype="Int32"),
+                    "rms": pd.array(rms, dtype="float64"),
+                    "zcr": pd.array(zcr, dtype="float64"),
+                    "kind": kinds,
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(
+        op, schema="doc_id bigint, frame_no int, rms double, zcr double, kind string"
+    )

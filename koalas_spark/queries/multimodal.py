@@ -131,3 +131,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# 139. REAL audio decode + frame features: each doc's first 400 bytes
+# become the data chunk of a valid mono PCM16 WAV (constant 44-byte
+# RIFF header via unhex — the length fields are fixed because the
+# chunk size is fixed), which decode_wav parses for real (RIFF chunk
+# walk, fmt validation), then per-100-sample frame computes RMS energy
+# and zero-crossing rate. The oracle never touches binary: the PCM
+# samples ARE little-endian char pairs of the text, so DuckDB
+# recomputes sample[i] = ascii(c[2i]) + 256*ascii(c[2i+1]) and the
+# EXACT integer sum-of-squares, then one division + sqrt — both
+# correctly-rounded IEEE ops, so rms hashes match bit-for-bit. ASCII
+# chars make every sample positive, hence zcr = 0 on this corpus;
+# signed-PCM zcr paths are pinned by unit tests with synthesized
+# audio.
+@query(
+    "multimodal_audio_features",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 400) AS d
+  FROM documents WHERE octet_length(encode(text)) >= 400),
+fr AS (
+  SELECT doc_id, d, unnest(range(0, 2)) AS frame_no FROM src),
+s AS (
+  SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+         list_sum(list_transform(range(0, 100),
+             i -> CAST(POW(ascii(substring(d, CAST(frame_no*200 + 2*i + 1 AS BIGINT), 1))
+                       + 256 * ascii(substring(d, CAST(frame_no*200 + 2*i + 2 AS BIGINT), 1)), 2)
+                  AS BIGINT))) AS sumsq
+  FROM fr)
+SELECT doc_id, frame_no,
+       ROUND(SQRT(CAST(sumsq AS DOUBLE) / 100), 6) AS rms,
+       0.0 AS zcr,
+       'audio/wav' AS kind
+FROM s
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import audio_frame_features
+
+    # constant canonical header for a 400-byte mono PCM16 data chunk
+    HDR = (
+        "52494646b401000057415645666d7420100000000100"
+        "0100803e0000007d0000020010006461746190010000"
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 400)
+    wav = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(HDR)), F.substring(F.encode(F.col("text"), "UTF-8"), 1, 400)
+        ).alias("blob"),
+    )
+    out = audio_frame_features(wav, "doc_id", frame_samples=100)
+    return out.select(
+        "doc_id", "frame_no", F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"), "kind",
+    )

@@ -202,3 +202,76 @@ def test_extract_meta_sniffs_image_kinds(spark):
     got = {r.doc_id: (r.kind, r.n_bytes) for r in extract_meta(df).collect()}
     assert got[1] == ("image/x-portable-graymap", len(pgm))
     assert got[2] == ("text/plain", 5)
+
+
+# ---------------- real audio codec ----------------
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from koalas_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-(2**15), 2**15, size=777, dtype=np.int16)
+    got, rate = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(got, pcm)
+    # chunk walk: an extra LIST chunk between fmt and data must be
+    # skipped (with odd-size padding), like real in-the-wild files
+    blob = encode_wav(pcm, 8000)
+    fmt_chunk = blob[12:36]
+    data_chunk = blob[36:]
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded
+    riff_body = b"WAVE" + fmt_chunk + junk + data_chunk
+    weird = b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+    got2, _ = decode_wav(weird)
+    np.testing.assert_array_equal(got2, pcm)
+
+
+def test_wav_malformed_and_unsupported():
+    from koalas_spark.operators.multimodal import decode_wav, encode_wav
+
+    for blob, exc in (
+        (b"RIFX0000WAVE", ValueError),          # wrong magic
+        (b"RIFF" + b"\x00" * 8, ValueError),     # no chunks
+        (encode_wav(np.zeros(4, dtype=np.int16))[:30], ValueError),  # truncated
+    ):
+        try:
+            decode_wav(blob)
+            raised = None
+        except Exception as e:  # noqa: BLE001
+            raised = type(e)
+        assert raised is exc, (blob[:12], raised)
+    # non-PCM format code -> NotImplementedError
+    blob = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    blob[20:22] = (3).to_bytes(2, "little")  # IEEE float format
+    try:
+        decode_wav(bytes(blob))
+        raised = False
+    except NotImplementedError:
+        raised = True
+    assert raised
+
+
+def test_audio_frame_features_signed_zcr(spark):
+    """Synthesized signed PCM: an alternating-sign square wave has
+    zcr = 1.0 (every adjacent pair flips), a constant positive wave
+    has zcr = 0; rms recomputed exactly."""
+    from koalas_spark.operators.multimodal import audio_frame_features, encode_wav
+
+    alt = np.tile(np.array([1000, -1000], dtype=np.int16), 100)  # 200 samples
+    flat = np.full(200, 500, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(alt))), (2, bytearray(encode_wav(flat))),
+         (3, bytearray(b"not audio"))],
+        "doc_id long, blob binary",
+    )
+    out = {(r.doc_id, r.frame_no): r for r in
+           audio_frame_features(df, "doc_id", frame_samples=100).collect()}
+    assert out[(3, None)].kind is None  # malformed passthrough
+    for fno in (0, 1):
+        a = out[(1, fno)]
+        assert a.kind == "audio/wav"
+        assert abs(a.zcr - 1.0) < 1e-9
+        assert abs(a.rms - 1000.0) < 1e-9
+        f = out[(2, fno)]
+        assert f.zcr == 0.0 and abs(f.rms - 500.0) < 1e-9
