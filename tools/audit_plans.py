@@ -43,6 +43,8 @@ EXPECTED = {
     "multimodal_resize": {"Python"},
     # real raster decode (pure-numpy netpbm/BMP) runs in mapInPandas
     "multimodal_decode_resize": {"Python"},
+    # real WAV parse + frame features run in mapInPandas
+    "multimodal_audio_features": {"Python"},
     "kmeans_clusters": {"Python"},
     "stream_stateful_sessions": {"Python"},
     "dedup_minhash_lsh": {"Python"},
