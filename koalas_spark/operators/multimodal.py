@@ -463,3 +463,169 @@ def audio_frame_features(
     return df.select(id_col, "blob").mapInPandas(
         op, schema="doc_id bigint, frame_no int, rms double, zcr double, kind string"
     )
+
+
+# ---------------- real video container (pure numpy) ----------------
+
+KIND_AVI = "video/x-msvideo"
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """Minimal uncompressed ('DIB ') AVI from an (n, h, w, 3) RGB uint8
+    array: RIFF(AVI ) -> LIST hdrl(avih, LIST strl(strh, strf)) ->
+    LIST movi('00db' raw BGR bottom-up frames, BMP row convention)."""
+    n, h, w, _ = frames.shape
+    row = w * 3  # (no 4-byte padding: AVI DIB frames pack rows tight
+    #              when w*3 is already aligned; keep w multiples of 4)
+    frame_bytes = row * h
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")
+        + (frame_bytes * fps).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; flags minimal
+        + n.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")
+        + frame_bytes.to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + b"\x00" * 12
+        + (1).to_bytes(4, "little")      # scale
+        + fps.to_bytes(4, "little")      # rate
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")        # length
+        + frame_bytes.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(2, "little") * 4
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + frame_bytes.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    movi_body = b"".join(
+        _chunk(b"00db", f[::-1, :, ::-1].tobytes())  # bottom-up, BGR
+        for f in frames
+    )
+    body = (
+        b"AVI "
+        + _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+        + _list(b"movi", movi_body)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi(blob: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Parse an uncompressed AVI: walk the RIFF tree, read geometry
+    from the strf BITMAPINFOHEADER, collect 00db/00dc movi chunks,
+    undo the DIB conventions (bottom-up rows, BGR). Returns
+    ((n, h, w, 3) RGB uint8, (w, h))."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    strf = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal strf
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"strf":
+                strf = buf[body_start : body_start + size]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(blob, 12, len(blob))
+    if strf is None or len(strf) < 24:
+        raise ValueError("missing strf header")
+    w = int.from_bytes(strf[4:8], "little", signed=True)
+    h = int.from_bytes(strf[8:12], "little", signed=True)
+    bpp = int.from_bytes(strf[14:16], "little")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bpp AVI frames not supported")
+    if w <= 0 or h <= 0 or not frames:
+        raise ValueError("bad geometry or no frames")
+    out = []
+    for fb in frames:
+        if len(fb) < w * h * 3:
+            raise ValueError("truncated frame")
+        arr = np.frombuffer(fb, np.uint8, count=w * h * 3).reshape(h, w, 3)
+        out.append(arr[::-1, :, ::-1])  # undo bottom-up + BGR
+    return np.stack(out), (w, h)
+
+
+def video_frame_index(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video pipeline: parse AVI containers from the binary
+    column, emit one row per frame with geometry and the sha256 of the
+    frame's raw stored payload (hash of what the container carries, so
+    an external tool slicing the same file agrees). Undecodable blobs
+    pass through with null kind — the malformed-media path. A real
+    deployment swaps ffmpeg into decode_avi for compressed codecs; the
+    Spark plumbing (Arrow batches, row-per-frame fan-out where the
+    data sits) is unchanged."""
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, ws, hs, shas, kinds = [], [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                b = bytes(blob)
+                try:
+                    frames, (w, h) = decode_avi(b)
+                except (ValueError, NotImplementedError):
+                    ids.append(doc_id)
+                    fnos.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    shas.append(None)
+                    kinds.append(None)
+                    continue
+                for i, fr in enumerate(frames):
+                    ids.append(doc_id)
+                    fnos.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    # hash the stored payload (re-apply DIB conventions)
+                    shas.append(
+                        hashlib.sha256(fr[::-1, :, ::-1].tobytes()).hexdigest()
+                    )
+                    kinds.append(KIND_AVI)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": pd.array(fnos, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "frame_sha": shas,
+                    "kind": kinds,
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(
+        op,
+        schema="doc_id bigint, frame_no int, width int, height int, frame_sha string, kind string",
+    )

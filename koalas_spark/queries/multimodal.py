@@ -188,3 +188,56 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_no", F.round("rms", 6).alias("rms"),
         F.round("zcr", 6).alias("zcr"), "kind",
     )
+
+
+# 140. REAL video container parse: each doc's first 384 bytes become
+# the two 8x8x3 frame payloads of a valid uncompressed AVI (constant
+# RIFF/hdrl/strl/movi scaffolding via unhex — every length field is
+# fixed because the geometry is fixed), which decode_avi walks for
+# real: nested LIST traversal, strf BITMAPINFOHEADER geometry, 00db
+# frame chunk collection. One output row per frame with the sha256 of
+# the frame's stored payload — which IS the corresponding text slice,
+# so the DuckDB oracle is an exact byte-level check of the container
+# walk without ever touching binary.
+@query(
+    "multimodal_video_frames",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 384) AS d
+  FROM documents WHERE octet_length(encode(text)) >= 384),
+fr AS (SELECT doc_id, d, unnest(range(0, 2)) AS frame_no FROM src)
+SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       8 AS width, 8 AS height,
+       sha256(substring(d, CAST(frame_no * 192 + 1 AS BIGINT), 192)) AS frame_sha,
+       'video/x-msvideo' AS kind
+FROM fr
+""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import video_frame_index
+
+    # constant scaffolding for a 2-frame 8x8 24-bpp uncompressed AVI
+    HDR0 = (
+        "5249464668020000415649204c495354c00000006864726c61766968380000"
+        "00409c0000c01200000000000010000000020000000000000001000000c000"
+        "0000080000000800000000000000000000000000000000000000"
+        "4c495354740000007374726c7374726838000000766964734449422000000000"
+        "0000000000000000010000001900000000000000020000"
+        "00c0000000ffffffff000000000000000000000000"
+        "73747266280000002800000008000000080000000100180000000000c000"
+        "0000000000000000000000000000000000004c495354940100006d6f7669"
+        "30306462c0000000"
+    )
+    MID = "30306462c0000000"
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 384)
+    t = F.encode(F.col("text"), "UTF-8")
+    avi = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(HDR0)),
+            F.substring(t, 1, 192),
+            F.unhex(F.lit(MID)),
+            F.substring(t, 193, 192),
+        ).alias("blob"),
+    )
+    return video_frame_index(avi, "doc_id")

@@ -275,3 +275,60 @@ def test_audio_frame_features_signed_zcr(spark):
         assert abs(a.rms - 1000.0) < 1e-9
         f = out[(2, fno)]
         assert f.zcr == 0.0 and abs(f.rms - 500.0) < 1e-9
+
+
+# ---------------- real video container ----------------
+
+
+def test_avi_roundtrip_and_conventions():
+    from koalas_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(3, 4, 8, 3), dtype=np.uint8)
+    got, (w, h) = decode_avi(encode_avi(frames))
+    assert (w, h) == (8, 4)
+    np.testing.assert_array_equal(got, frames)
+    # DIB conventions: first stored byte of a frame is the BLUE channel
+    # of the BOTTOM-LEFT pixel
+    blob = encode_avi(frames[:1])
+    payload_pos = blob.index(b"00db") + 8
+    assert blob[payload_pos] == frames[0, -1, 0, 2]
+
+
+def test_avi_malformed_and_unsupported():
+    from koalas_spark.operators.multimodal import decode_avi, encode_avi
+
+    import numpy as np2
+
+    for blob, exc in (
+        (b"RIFF\x00\x00\x00\x00WAVE", ValueError),   # wrong form type
+        (b"nope", ValueError),
+        (encode_avi(np2.zeros((1, 4, 4, 3), dtype=np2.uint8))[:-20], ValueError),  # truncated frame
+    ):
+        try:
+            decode_avi(blob)
+            raised = None
+        except Exception as e:  # noqa: BLE001
+            raised = type(e)
+        assert raised is exc
+
+
+def test_video_frame_index_matches_hashlib(spark):
+    import hashlib
+
+    from koalas_spark.operators.multimodal import encode_avi, video_frame_index
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(frames))), (2, bytearray(b"junk"))],
+        "doc_id long, blob binary",
+    )
+    got = {(r.doc_id, r.frame_no): r for r in video_frame_index(df).collect()}
+    assert got[(2, None)].kind is None
+    for i in range(2):
+        r = got[(1, i)]
+        want = hashlib.sha256(frames[i][::-1, :, ::-1].tobytes()).hexdigest()
+        assert (r.width, r.height, r.frame_sha, r.kind) == (
+            8, 8, want, "video/x-msvideo",
+        )

@@ -45,6 +45,8 @@ EXPECTED = {
     "multimodal_decode_resize": {"Python"},
     # real WAV parse + frame features run in mapInPandas
     "multimodal_audio_features": {"Python"},
+    # real AVI container walk runs in mapInPandas
+    "multimodal_video_frames": {"Python"},
     "kmeans_clusters": {"Python"},
     "stream_stateful_sessions": {"Python"},
     "dedup_minhash_lsh": {"Python"},
