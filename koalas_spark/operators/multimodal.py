@@ -2,12 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side machinery — schema, Arrow batching through
-mapInPandas, partition sizing — is real and tested. Uncompressed
-raster formats (netpbm P5/P6, BMP 8/24-bit) are decoded FOR REAL by a
-pure-numpy parser (``decode_image``); compressed/other media (PNG,
-JPEG, audio, video) still raise ``NotImplementedError`` because their
-codec libraries are not in this container — plugging PIL/ffmpeg into
-``decode_image`` is the only change a real deployment makes.
+mapInPandas, partition sizing — is real and tested, and all three
+media families parse REAL container bytes with pure-numpy codecs:
+images via ``decode_image`` (netpbm P5/P6, uncompressed BMP 8/24-bit),
+audio via ``decode_wav`` (RIFF chunk walk, PCM16), video via
+``decode_avi`` (nested LIST walk, uncompressed DIB frames). Compressed
+codecs (PNG/JPEG/MP3/H.264) raise ``NotImplementedError`` because
+their libraries are not in this container — plugging PIL/ffmpeg into
+these three decode functions is the only change a real deployment
+makes; every Spark-side shape stays identical.
 
 At 100 TB: binary payloads ride in the same parquet row groups;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory, and the
