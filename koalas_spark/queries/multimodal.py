@@ -56,10 +56,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 73. byte-histogram features — the image-embedding pipeline shape
-# (blob → fixed-width float vector) through Arrow mapInPandas.
-# Rows-only: the featurizer is numpy-side; unit tests recompute the
-# histograms independently and assert exact equality.
-@query("multimodal_features", oracle=None)
+# (blob → fixed-width float vector) through Arrow mapInPandas. The
+# oracle recomputes each 16-bin L1-normalized histogram from the ASCII
+# chars (byte >> 4 == ascii // 16) with the same int/int double
+# division, so the float vectors hash-match exactly.
+@query(
+    "multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN length(text) = 0
+            THEN list_transform(range(0, 16), b -> 0.0)
+            ELSE list_transform(range(0, 16),
+                 b -> CAST(len(list_filter(
+                        list_transform(range(1, length(text) + 1),
+                                       i -> ascii(substring(text, CAST(i AS BIGINT), 1)) // 16),
+                        x -> x = b)) AS DOUBLE) / length(text))
+       END AS features
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.multimodal import byte_histogram_features
 
