@@ -126,11 +126,33 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 122. resize — nearest-neighbor byte-raster downsample through the
-# Arrow batch path (the PIL/cv2 resize shape). The numpy gather is not
-# SQL-expressible, so the query is rows-only; tests/test_multimodal.py
-# recomputes the resize independently and asserts byte equality, and
-# the aggregate here keeps the checked surface small and stable.
-@query("multimodal_resize", oracle=None)
+# Arrow batch path (the PIL/cv2 resize shape). The oracle replays the
+# gather in SQL: viewing the ASCII text as a 16-wide raster, output
+# pixel (i, j) is char position ((i * (len // 16)) // 8) * 16 + 2j + 1,
+# so each doc's resized bytes — and the order-canonicalized md5 over
+# their hex — are reproduced exactly (upper(hex()) matches Spark's
+# uppercase hex; short docs pass through with null dims).
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH r AS (
+  SELECT doc_id,
+         CASE WHEN length(text) // 16 >= 1 THEN 8 END AS width,
+         CASE WHEN length(text) // 16 >= 1 THEN 8 END AS height,
+         CASE WHEN length(text) // 16 >= 1
+              THEN array_to_string(list_transform(range(0, 64),
+                   k -> substring(text,
+                        CAST(((k // 8) * (length(text) // 16)) // 8 * 16
+                             + (k % 8) * 2 + 1 AS BIGINT), 1)), '')
+              ELSE text END AS resized
+  FROM documents)
+SELECT width, height, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(resized)) AS BIGINT) AS total_bytes,
+       md5(string_agg(upper(hex(resized)), '' ORDER BY upper(hex(resized))))
+         AS content_md5
+FROM r GROUP BY width, height
+""",
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.multimodal import resize_frames
 
