@@ -739,3 +739,37 @@ SELECT anc AS node, COUNT(*) AS subtree_docs,
 FROM up GROUP BY anc
 """
     )
+
+
+# --------------------------------------------------------------------
+# 141. quantile sketch check — approx_percentile (GK/KLL-family
+# mergeable sketch, the only way to get quantiles in one pass over
+# 100 TB without a global sort) validated against the exact
+# interpolated percentile per group: the exact values are the oracle
+# row (Spark percentile == DuckDB quantile_cont bit-for-bit on
+# integer inputs) and a boolean asserts the sketch landed within 2%
+# (accuracy 10000 => worst-case rank error 0.01%, so the flag has
+# orders of magnitude of margin and is stable).
+@query(
+    "percentile_approx_check",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+       TRUE AS approx_within_2pct
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_p50_approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "p50_exact",
+        (
+            F.abs(F.col("_p50_approx") - F.col("p50_exact"))
+            <= 0.02 * F.abs(F.col("p50_exact"))
+        ).alias("approx_within_2pct"),
+    )
