@@ -558,20 +558,32 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # 124. sketched heavy hitters — approx_top_k (DataSketches frequent
-# items) over exploded tokens vs the exact count. A single partial-
-# aggregable sketch replaces the full token shuffle when only the top
-# of the distribution matters. Rows-only (sketch internals are
-# engine-specific); tests assert the sketch's top-k set and counts
-# match the exact ones on this corpus (guaranteed when the sketch map
-# is larger than the vocabulary).
-@query("approx_token_topk", oracle=None)
+# items) over exploded tokens. A single partial-aggregable sketch
+# replaces the full token shuffle when only the top of the
+# distribution matters. With the sketch map (4096) far above the
+# corpus vocabulary (~31) and k (50) above it too, the sketch tracks
+# every item with exact counts and no boundary ties exist — so the
+# DuckDB oracle is simply the exact token counts, and the sketch is
+# verified value-for-value (same guarantee word_count_topk's top-50
+# oracle already relies on).
+@query(
+    "approx_token_topk",
+    oracle="""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS approx_count
+FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+      FROM documents) t
+GROUP BY token
+ORDER BY approx_count DESC, token
+LIMIT 50
+""",
+)
 def approx_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.functions.textfn import tokens
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
     return (
-        tok.agg(F.expr("approx_top_k(t, 20, 4096)").alias("tk"))
+        tok.agg(F.expr("approx_top_k(t, 50, 4096)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
             F.col("e.item").alias("token"),

@@ -30,7 +30,7 @@ def test_approx_topk_matches_exact_on_small_vocab(spark):
         .groupBy("t")
         .count()
         .orderBy(F.col("count").desc(), F.col("t"))
-        .limit(20)
+        .limit(50)
         .collect()
     )
     # vocabulary << sketch map size, so counts are exact
