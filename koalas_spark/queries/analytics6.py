@@ -527,11 +527,22 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 123. mergeable HLL sketch rollup — THE two-level distinct-count
 # pattern at 100 TB: per-(type, day) partial sketches (map-side
 # combinable, a few KB each) union-merged per type, so re-aggregating
-# a year of daily rollups never rescans raw events. Estimates are
-# engine-specific (DataSketches), so the query is rows-only; it
-# returns the exact distinct count alongside and
-# tests/test_sketches.py bounds the relative error.
-@query("hll_user_rollup", oracle=None)
+# a year of daily rollups never rescans raw events. The estimate
+# itself is engine-specific (DataSketches), so the checked surface is
+# the exact distinct count plus a boolean asserting the merged sketch
+# landed within 5% of it (lgK=14 gives ~0.8% standard error — 6 sigma
+# of margin, deterministic for fixed input); the oracle emits the
+# exact counts and literal TRUE, same convention as distinct_approx.
+@query(
+    "hll_user_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
 def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.queries.analytics import _load_events
 
@@ -552,7 +563,13 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
     return merged.join(exact, "event_type").select(
-        "event_type", "exact_users", "approx_users", "n_events"
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+        "n_events",
     )
 
 
