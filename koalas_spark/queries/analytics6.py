@@ -802,3 +802,47 @@ def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.abs(F.col("p50_exact"))
         ).alias("approx_within_2pct"),
     )
+
+
+# --------------------------------------------------------------------
+# 142. time-series gap fill — dashboards and anomaly detectors need a
+# DENSE series; raw event aggregation silently drops empty minutes.
+# The spine is generated from the data's own [min, max] bounds with
+# sequence() + explode — one 1-row aggregate fans out to the full
+# minute range, so the spine is bounded by TIME SPAN, not corpus size,
+# and costs the same at 100 TB as at 100 MB. The per-minute counts
+# aggregate partial map-side; the spine side then LEFT joins them and
+# AQE broadcasts whichever side is small. No driver-side loops, no
+# UDFs.
+@query(
+    "timeseries_gapfill",
+    oracle="""
+WITH b AS (
+  SELECT DATE_TRUNC('minute', MIN(ts)) AS lo, DATE_TRUNC('minute', MAX(ts)) AS hi
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute FROM b),
+c AS (
+  SELECT DATE_TRUNC('minute', ts) AS minute, COUNT(*) AS n
+  FROM events GROUP BY 1)
+SELECT s.minute, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN c ON s.minute = c.minute
+""",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute")
+    )
+    counts = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(counts, "minute", "left").select(
+        "minute", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+    )
