@@ -35,14 +35,23 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right_time <= left_time`` on the same key (direction='backward').
+    ``right_time <= left_time`` on the same key (direction='backward'),
+    or the earliest right row with ``right_time >= left_time``
+    (direction='forward') — both inclusive, matching pandas
+    merge_asof's allow_exact_matches.
 
     payload_cols: {right_col: output_alias} — right columns to carry.
     right_order_cols: tie-break among right rows sharing a timestamp
-    (the max wins, matching "latest record" semantics).
+    (backward keeps the max — "latest record"; forward keeps the min —
+    "next record" — the symmetric convention).
+
+    Forward is the SAME one-shuffle union-sort plan traversed in
+    descending time: at equal timestamps the right side still sorts
+    before the left (inclusive bound), and the carried struct becomes
+    the nearest following right row.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     right_order_cols = right_order_cols or []
 
     left_cols = left.columns
@@ -60,9 +69,16 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    order = [F.col("_t").asc(), F.col("_side").asc()] + [
-        F.col(f"_p_{c}").asc_nulls_first() for c in right_order_cols
-    ]
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc()] + [
+            F.col(f"_p_{c}").asc_nulls_first() for c in right_order_cols
+        ]
+    else:
+        # descending traversal; last() then carries the right row with
+        # the SMALLEST time >= left time, min tie-break on order cols
+        order = [F.col("_t").desc(), F.col("_side").asc()] + [
+            F.col(f"_p_{c}").desc_nulls_first() for c in right_order_cols
+        ]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)

@@ -846,3 +846,42 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(counts, "minute", "left").select(
         "minute", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
     )
+
+
+# --------------------------------------------------------------------
+# 143. forward as-of join — for each event, the user's NEXT order at
+# or after the event timestamp ("time to next purchase" analyses).
+# Same one-shuffle union-sort operator as the backward as-of (#33),
+# traversed in descending time (operators/asof.py) — no inequality
+# join explosion at any scale.
+@query(
+    "asof_join_forward",
+    oracle="""
+SELECT event_id, user_id, ts, o_orderkey AS next_orderkey, o_orderdate AS next_orderdate
+FROM (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC NULLS LAST,
+                                     o.o_orderkey ASC NULLS LAST) AS rk
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts) t
+WHERE rk = 1
+""",
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols={"o_orderkey": "next_orderkey", "o_orderdate": "next_orderdate"},
+        right_order_cols=["o_orderdate", "o_orderkey"],
+        direction="forward",
+    )

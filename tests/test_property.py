@@ -228,3 +228,41 @@ def test_netpbm_roundtrip_random_rasters(w, h, seed, fmt):
         blob = encode_ppm(img)
     got, _ = decode_image(blob)
     np.testing.assert_array_equal(got, img)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(_keys, _times), min_size=1, max_size=25),
+    right=st.lists(st.tuples(_keys, _times), min_size=1, max_size=25),
+)
+def test_asof_forward_matches_pandas(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, lt long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, rt long"
+    )
+    got = asof_join(
+        ldf,
+        rdf,
+        left_key="k",
+        right_key="k",
+        left_time="lt",
+        right_time="rt",
+        payload_cols={"rt": "matched_rt"},
+        right_order_cols=["rid"],
+        direction="forward",
+    )
+    got_map = {r["lid"]: r["matched_rt"] for r in got.collect()}
+    lpd = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], columns=["lid", "k", "lt"]
+    ).sort_values(["lt", "lid"])
+    rpd = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], columns=["rid", "k", "rt"]
+    ).sort_values(["rt", "rid"])
+    ref = pd.merge_asof(
+        lpd, rpd, left_on="lt", right_on="rt", by="k", direction="forward"
+    )
+    for _, row in ref.iterrows():
+        want = None if pd.isna(row["rt"]) else int(row["rt"])
+        assert got_map[row["lid"]] == want, (row["lid"], got_map[row["lid"]], want)
