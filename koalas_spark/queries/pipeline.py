@@ -577,14 +577,16 @@ def shard_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # 131. temperature-based language rebalancing (the mT5/XLM-R
-# multilingual recipe): head languages are downsampled toward the
-# tail with rate_l = min(1, (c_max / c_l) ** (1 - alpha)) at
-# alpha = 0.5, i.e. sqrt(c_max / c_l). The formulation is PAIRWISE
-# against the largest language rather than a normalized sum of
-# powers: IEEE sqrt and division are correctly rounded in every
-# engine, while a cross-language Σ c_l^alpha would make the keep
-# thresholds depend on double summation order — not reproducible
-# between Spark and an oracle (or between two cluster layouts).
+# multilingual recipe): sampling rates proportional to c_l^(alpha-1)
+# at alpha = 0.5, tail-normalized so the SMALLEST language keeps
+# everything: rate_l = (c_min / c_l) ** (1 - alpha) = sqrt(c_min/c_l).
+# Head languages (large c_l) get rate < 1 and are downsampled toward
+# the tail. The formulation is PAIRWISE against the smallest language
+# rather than a normalized sum of powers: IEEE sqrt and division are
+# correctly rounded in every engine, while a cross-language Σ c_l^alpha
+# would make the keep thresholds depend on double summation order —
+# not reproducible between Spark and an oracle (or between two
+# cluster layouts).
 # The per-language rate becomes a 16-bit integer threshold compared
 # against the doc's md5 coin, so the sample is a pure per-row
 # predicate: deterministic, shuffle-free, partitioning-independent.
@@ -593,10 +595,10 @@ def shard_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lang_temperature_resample",
     oracle="""
 WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
-m AS (SELECT MAX(cnt) AS cmax FROM c),
+m AS (SELECT MIN(cnt) AS cmin FROM c),
 r AS (
   SELECT lang, cnt,
-         CAST(FLOOR(65536 * LEAST(1.0, SQRT(CAST(cmax AS DOUBLE) / cnt))) AS BIGINT)
+         CAST(FLOOR(65536 * SQRT(CAST(cmin AS DOUBLE) / cnt)) AS BIGINT)
            AS thresh
   FROM c CROSS JOIN m)
 SELECT d.lang,
@@ -612,17 +614,13 @@ GROUP BY d.lang
 def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    cmax = counts.agg(F.max("cnt").alias("cmax"))
+    cmin = counts.agg(F.min("cnt").alias("cmin"))
     rates = (
-        counts.crossJoin(F.broadcast(cmax))
+        counts.crossJoin(F.broadcast(cmin))
         .withColumn(
             "thresh",
             F.floor(
-                65536
-                * F.least(
-                    F.lit(1.0),
-                    F.sqrt(F.col("cmax").cast("double") / F.col("cnt")),
-                )
+                65536 * F.sqrt(F.col("cmin").cast("double") / F.col("cnt"))
             ).cast("bigint"),
         )
         .select("lang", "cnt", "thresh")

@@ -124,6 +124,24 @@ def test_multimodal_stub(spark):
         decode_stub(b"\x89PNG")
 
 
+def test_lang_temperature_resample_downsamples_head(spark):
+    """The tail-normalized temperature rates must actually downsample:
+    the head language's keep rate is sqrt(c_min/c_head) < 1, so
+    n_kept < n_before there, while the smallest language keeps all."""
+    from tests.conftest import SF_SMOKE
+    from koalas_spark.queries import all_queries
+
+    out = all_queries()["lang_temperature_resample"](spark, SF_SMOKE).collect()
+    rows = {r["lang"]: r for r in out}
+    head = max(rows.values(), key=lambda r: r["n_before"])
+    tail = min(rows.values(), key=lambda r: r["n_before"])
+    if head["n_before"] > tail["n_before"]:
+        assert head["n_kept"] < head["n_before"]  # head really drops docs
+        assert head["thresh"] < 65536
+    assert tail["n_kept"] == tail["n_before"]  # smallest language keeps all
+    assert tail["thresh"] == 65536
+
+
 def test_simhash_null_empty_policy(spark):
     """Pin the NULL/empty-doc policy: NULL text and empty/whitespace
     text both fingerprint to simhash 0 and stay in the output — so
