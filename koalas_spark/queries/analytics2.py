@@ -207,10 +207,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# grouped-map Pandas — per-group z-score normalization through
-# applyInPandas (the Arrow grouped-map path). Oracle via window
+# per-group z-score normalization, scale-safe: the per-priority
+# mean/stddev are a 5-row aggregate that broadcasts back onto the
+# scan, so the z-score is a pure JVM expression — one partial-agg
+# shuffle of 5 rows and zero Python exchange. (An earlier revision
+# routed this through applyInPandas grouped over the SAME 5-value
+# key: applyInPandas materializes each group as ONE pandas frame in
+# ONE worker, i.e. ~1/5 of the orders table per task at any scale —
+# correct at sf0.1, OOM at 100 TB. The Arrow grouped-map showcase now
+# lives in grouped_demean_arrow below, over a key whose cardinality
+# grows with the data so group size stays bounded.) Oracle via window
 # avg/stddev; values rounded to absorb float-path differences between
-# pandas and SQL stddev.
+# the two engines' stddev accumulations.
 @query(
     "grouped_zscore",
     oracle="""
@@ -221,21 +229,60 @@ FROM orders
 """,
 )
 def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("_mu"),
+        F.stddev_samp("o_totalprice").alias("_sd"),
+    )
+    return (
+        o.join(F.broadcast(stats), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round((F.col("o_totalprice") - F.col("_mu")) / F.col("_sd"), 4).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Arrow grouped-map showcase — per-(priority, order-day) de-meaning
+# through applyInPandas. The grouping key is deliberately
+# high-cardinality (priority × day ≈ 12k groups over the TPC-H date
+# span): grouped-map ships each group as ONE in-memory pandas frame
+# to ONE Python worker, so the key must keep groups small — pick keys
+# whose cardinality grows with the data, never a 5-value enum (that
+# variant is grouped_zscore above, computed JVM-side). Oracle replays
+# the de-mean with a window AVG over the identical key.
+@query(
+    "grouped_demean_arrow",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_orderdate,
+       ROUND(o_totalprice - AVG(o_totalprice)
+             OVER (PARTITION BY o_orderpriority, o_orderdate), 4) AS demeaned
+FROM orders
+""",
+)
+def grouped_demean_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
 
-    def z(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["o_totalprice"].mean()
-        sd = pdf["o_totalprice"].std(ddof=1)
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_orderpriority": pdf["o_orderpriority"],
-                "zscore": ((pdf["o_totalprice"] - mu) / sd).round(4),
+                "o_orderdate": pdf["o_orderdate"],
+                "demeaned": (pdf["o_totalprice"] - pdf["o_totalprice"].mean()).round(4),
             }
         )
 
-    return o.groupBy("o_orderpriority").applyInPandas(
-        z, schema="o_orderkey bigint, o_orderpriority string, zscore double"
+    return o.groupBy("o_orderpriority", "o_orderdate").applyInPandas(
+        demean,
+        schema="o_orderkey bigint, o_orderpriority string, "
+        "o_orderdate timestamp_ntz, demeaned double",
     )
