@@ -75,29 +75,38 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# 110. inverted index — token -> (df, total_tf, sorted posting list).
-# One explode + one groupBy(token): postings build as collect_set
-# (map-side combine dedups per-partition before the shuffle) and sort
-# once per group. At 100 TB posting lists for stopword-grade terms
-# get hot; the real mitigation is posting-list sharding by
-# (token, doc_id range) — here vocabulary is bounded so one group per
-# token is the right plan.
+# 110. inverted index — sharded postings: (token, shard) ->
+# (shard_df, shard_tf, sorted shard-local posting list), where
+# shard = doc_id DIV 128. One explode + ONE groupBy(token, shard):
+# map-side combine dedups per partition before the shuffle, and every
+# aggregation buffer is bounded by the shard width (<= 128 distinct
+# ids per array) — a stopword's postings land in n_docs/128 separate
+# rows across separate reducers instead of one multi-GB collect_set
+# buffer (Spark's 2 GB array limit dies long before 100 TB on the
+# unsharded plan). Shards partition the doc-id space disjointly, so
+# global df/total_tf per token are exact SUMs of the (array-free)
+# shard stats — a separate tiny rollup when scoring needs them (see
+# tfidf_top_terms); deliberately NOT joined back onto shard rows,
+# which would re-co-locate all of a hot token's arrays in one task.
 @query(
     "inverted_index",
     oracle="""
-SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf,
+SELECT token, doc_id // 128 AS shard,
+       COUNT(DISTINCT doc_id) AS shard_df, COUNT(*) AS shard_tf,
        list_sort(list(DISTINCT doc_id)) AS postings
 FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS token
       FROM documents) t
-GROUP BY token
+GROUP BY token, doc_id // 128
 """,
 )
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    return tok.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df"),
-        F.count(F.lit(1)).alias("total_tf"),
+    return tok.withColumn("shard", F.expr("doc_id div 128")).groupBy(
+        "token", "shard"
+    ).agg(
+        F.count_distinct("doc_id").alias("shard_df"),
+        F.count(F.lit(1)).alias("shard_tf"),
         F.sort_array(F.collect_set("doc_id")).alias("postings"),
     )
 
