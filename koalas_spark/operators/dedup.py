@@ -187,27 +187,42 @@ def verify_pairs_jaccard(
     """Join shingle sets back onto candidate pairs and keep pairs with
     exact Jaccard >= threshold.
 
-    The PAIRS side carries a SHUFFLE_HASH hint: both sides shuffle on
-    the id, pairs become the per-partition hash build side, and the
-    shingle table streams. This keeps the scale-dominant side (shingle
-    sets) off the build/broadcast path without capping the pair count:
-    at 1e11 docs even a 1% dup rate is ~1e9 pairs — tens of GB, far
-    past any broadcast threshold — but each SHJ partition only builds
-    its 1/P slice. (A broadcast hint on pairs measured slightly faster
-    at sf0.1 by skipping the pair shuffle, but is an executor OOM at
-    scale; AQE still upgrades the SHJ to broadcast when the pair side
-    really is tiny.)"""
+    Gather shape: each pair explodes into its two member ids, ONE
+    shuffle-hash join pulls the shingle set for both sides in a single
+    pass over the corpus-scale table, and a groupBy((id_a, id_b))
+    reassembles the two arrays (min_by/max_by on the side flag —
+    constant two-array state per group, uniform pair keys). This
+    replaced a two-join formulation: it streams the shingle table once
+    instead of twice and measured ~10% faster at sf0.1 while keeping
+    the same scale posture.
+
+    The exploded PAIRS side carries the SHUFFLE_HASH hint: both sides
+    shuffle on the id, pairs become the per-partition hash build side,
+    and the shingle table streams. This keeps the scale-dominant side
+    (shingle sets) off the build/broadcast path without capping the
+    pair count: at 1e11 docs even a 1% dup rate is ~1e9 pairs — tens
+    of GB, far past any broadcast threshold — but each SHJ partition
+    only builds its 1/P slice, and AQE still upgrades to broadcast
+    when the pair side really is tiny."""
     sh = sigs.select("id", "shingles")
-    out = (
-        pairs.hint("shuffle_hash")
-        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .hint("shuffle_hash")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    sides = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    gathered = (
+        sides.hint("shuffle_hash")
+        .join(sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("shingles", F.col("id") != F.col("id_a")).alias("sh_a"),
+            F.max_by("shingles", F.col("id") != F.col("id_a")).alias("sh_b"),
         )
+    )
+    out = gathered.select(
+        "id_a",
+        "id_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
 

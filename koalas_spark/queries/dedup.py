@@ -44,27 +44,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    # Materialize the shingle table ONCE with a MEMORY_AND_DISK
-    # persist: it feeds the signature UDF plus the two verify joins.
-    # Persist beats the alternatives measured at sf0.1 on a
-    # right-sized (16g) heap: steadier than eager localCheckpoint
-    # (orphaned checkpoint RDD blocks linger until the async
-    # ContextCleaner runs, churning the block manager on repeated
-    # construction) and ~3x faster than no reuse (re-tokenizing per
-    # branch). Persisted tables are registered with the cache manager,
-    # so catalog.clearCache()/unpersist release them
-    # deterministically. At cluster scale the same blocks live on
-    # executor memory+disk and recompute-on-eviction keeps the
-    # pipeline correct. Signatures need NO persist: bucket-local pair
-    # generation in lsh_candidate_pairs consumes them exactly once.
-    from pyspark import StorageLevel
-
-    # serialized MEMORY_AND_DISK, not the default deserialized
-    # columnar cache: building InMemoryRelation for wide array<long>
-    # columns costs ~20x the recompute (measured 9s vs 0.5s)
-    base = shingle_sets(docs, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # No persist: the shingle table is consumed exactly twice — once
+    # by the signature UDF and once (single pass, gather-shaped join)
+    # by the verify stage — and re-deriving it is one scan + codegen
+    # tokenize/hash. Measured at sf0.1 with alternating-order min-of-3
+    # (r4): recompute 2.0-2.5s vs MEMORY_AND_DISK persist 3.2-3.9s —
+    # serializing/deserializing array<long> blocks costs more than the
+    # recompute, and the persist also pins executor memory the rest of
+    # the pipeline wants. At cluster scale recompute additionally
+    # avoids block-manager churn on wide array columns.
+    base = shingle_sets(docs, "doc_id", "text")
     sigs = minhash_sigs(base, num_perm=64)
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
     return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(

@@ -91,11 +91,12 @@ def test_minhash_verify_broadcasts_pairs_not_corpus(spark):
     pairs = lsh_candidate_pairs(sigs, bands=8, rows=4)
     ver = verify_pairs_jaccard(pairs, base, 0.5)
     plan = _plan(ver)
-    # the verify joins hint shuffle_hash with the (small) pairs side as
-    # build — a forced broadcast would OOM executors at scale, and AQE
-    # still upgrades to broadcast at runtime when the pair set is tiny.
-    # The shingles column must never land on a hash-build side.
-    assert plan.count("ShuffledHashJoin") >= 2
+    # the gather-shaped verify hints shuffle_hash with the (small)
+    # exploded-pairs side as build — a forced broadcast would OOM
+    # executors at scale, and AQE still upgrades to broadcast at
+    # runtime when the pair set is tiny. The shingles column must
+    # never land on a hash-build side.
+    assert plan.count("ShuffledHashJoin") >= 1
     import re
 
     for m in re.finditer(r"ShuffledHashJoin .*?(BuildLeft|BuildRight)", plan):
