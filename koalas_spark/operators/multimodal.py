@@ -131,7 +131,29 @@ def _decode_bmp(buf: bytes) -> tuple[np.ndarray, str]:
         h, row_bytes
     )
     if bpp == 8:
-        img = rows[:, :w]  # palette indices; gray palettes are identity
+        # 8-bpp pixels are COLOR-TABLE INDICES: read the palette that
+        # follows the BITMAPINFOHEADER and map through it. Grayscale
+        # palettes (B==G==R per entry) resolve to (h, w) gray; a color
+        # palette would change the output shape/meaning, so it raises
+        # like the other unsupported variants instead of silently
+        # returning raw indices as gray values.
+        hdr_size = int.from_bytes(buf[14:18], "little")
+        clr_used = int.from_bytes(buf[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal_end = pal_off + 4 * clr_used
+        if pal_end > len(buf) or pal_end > off:
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(buf, np.uint8, count=4 * clr_used, offset=pal_off).reshape(
+            clr_used, 4
+        )
+        if not (
+            np.array_equal(pal[:, 0], pal[:, 1])
+            and np.array_equal(pal[:, 1], pal[:, 2])
+        ):
+            raise NotImplementedError("non-grayscale BMP palette not supported")
+        lut = np.arange(256, dtype=np.uint8)
+        lut[:clr_used] = pal[:, 0]  # B channel == gray level
+        img = lut[rows[:, :w]]
     else:
         img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     if bottom_up:
@@ -486,8 +508,7 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
     array: RIFF(AVI ) -> LIST hdrl(avih, LIST strl(strh, strf)) ->
     LIST movi('00db' raw BGR bottom-up frames, BMP row convention)."""
     n, h, w, _ = frames.shape
-    row = w * 3  # (no 4-byte padding: AVI DIB frames pack rows tight
-    #              when w*3 is already aligned; keep w multiples of 4)
+    row = (w * 3 + 3) & ~3  # DIB rows pad to a 4-byte boundary
     frame_bytes = row * h
     avih = (
         (1_000_000 // fps).to_bytes(4, "little")
@@ -525,10 +546,17 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
         + frame_bytes.to_bytes(4, "little")
         + b"\x00" * 16
     )
-    movi_body = b"".join(
-        _chunk(b"00db", f[::-1, :, ::-1].tobytes())  # bottom-up, BGR
-        for f in frames
-    )
+    pad = row - w * 3
+
+    def _dib(f: np.ndarray) -> bytes:
+        raster = f[::-1, :, ::-1]  # bottom-up, BGR
+        if pad == 0:
+            return raster.tobytes()
+        padded = np.zeros((h, row), dtype=np.uint8)
+        padded[:, : w * 3] = raster.reshape(h, w * 3)
+        return padded.tobytes()
+
+    movi_body = b"".join(_chunk(b"00db", _dib(f)) for f in frames)
     body = (
         b"AVI "
         + _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
@@ -572,11 +600,13 @@ def decode_avi(blob: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         raise NotImplementedError(f"{bpp}-bpp AVI frames not supported")
     if w <= 0 or h <= 0 or not frames:
         raise ValueError("bad geometry or no frames")
+    stride = (w * 3 + 3) & ~3  # DIB rows pad to a 4-byte boundary
     out = []
     for fb in frames:
-        if len(fb) < w * h * 3:
+        if len(fb) < stride * h:
             raise ValueError("truncated frame")
-        arr = np.frombuffer(fb, np.uint8, count=w * h * 3).reshape(h, w, 3)
+        rows = np.frombuffer(fb, np.uint8, count=stride * h).reshape(h, stride)
+        arr = rows[:, : w * 3].reshape(h, w, 3)  # strip row padding
         out.append(arr[::-1, :, ::-1])  # undo bottom-up + BGR
     return np.stack(out), (w, h)
 

@@ -11,14 +11,20 @@ from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 
 
-# 49. blob metadata: byte length via mapInPandas (Arrow batch path),
-# sha256 via JVM expression — both oracle-checked against DuckDB.
+# 49. blob metadata: byte length + magic-byte kind sniff via
+# mapInPandas (Arrow batch path), sha256 via JVM expression — all
+# oracle-checked against DuckDB. The oracle mirrors sniff_kind's
+# magic-byte dispatch so a regenerated corpus document that happens
+# to start with 'P5'/'P6'/'BM' flips kind identically in both engines.
 @query(
     "multimodal_meta",
     oracle="""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       'text/plain' AS kind,
+       CASE WHEN text LIKE 'P5%' THEN 'image/x-portable-graymap'
+            WHEN text LIKE 'P6%' THEN 'image/x-portable-pixmap'
+            WHEN text LIKE 'BM%' THEN 'image/bmp'
+            ELSE 'text/plain' END AS kind,
        sha256(text) AS sha
 FROM documents
 """,

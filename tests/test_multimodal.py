@@ -295,6 +295,75 @@ def test_avi_roundtrip_and_conventions():
     assert blob[payload_pos] == frames[0, -1, 0, 2]
 
 
+def test_avi_padded_width_roundtrip():
+    """Widths that are not multiples of 4 force the 4-byte DIB row
+    padding; encode must pad and decode must slice each row by the
+    padded stride instead of shearing the pixels."""
+    from koalas_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    for w in (3, 5, 6, 7):
+        frames = rng.integers(0, 256, size=(2, 4, w, 3), dtype=np.uint8)
+        blob = encode_avi(frames)
+        got, (gw, gh) = decode_avi(blob)
+        assert (gw, gh) == (w, 4)
+        np.testing.assert_array_equal(got, frames)
+        # stored chunk length is the padded stride, not w*3
+        stride = (w * 3 + 3) & ~3
+        pos = blob.index(b"00db")
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        assert size == stride * 4
+
+
+def test_bmp_8bpp_palette():
+    """8-bpp BMP pixels are color-table indices: a grayscale (possibly
+    non-identity) palette must be applied; a color palette raises."""
+    from koalas_spark.operators.multimodal import decode_image
+
+    def bmp8(indices, palette):
+        h, w = indices.shape
+        row = (w + 3) & ~3
+        raster = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            line = bytes(indices[y].tolist()) + b"\x00" * (row - w)
+            raster += line
+        pal = b"".join(bytes([b_, g, r, 0]) for (r, g, b_) in palette)
+        off = 14 + 40 + len(pal)
+        header = (
+            b"BM"
+            + (off + len(raster)).to_bytes(4, "little")
+            + b"\x00" * 4
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (8).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(raster).to_bytes(4, "little")
+            + (0).to_bytes(4, "little") * 2
+            + len(palette).to_bytes(4, "little")  # biClrUsed
+            + (0).to_bytes(4, "little")
+        )
+        return bytes(header) + pal + bytes(raster)
+
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    # inverted gray ramp: index i -> gray 255 - 60*i
+    gray_pal = [(255 - 60 * i,) * 3 for i in range(4)]
+    got, kind = decode_image(bmp8(idx, gray_pal))
+    assert kind == "image/bmp"
+    want = np.array([[255 - 60 * v for v in row] for row in idx], dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+    color_pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    try:
+        decode_image(bmp8(idx, color_pal))
+        raised = False
+    except NotImplementedError:
+        raised = True
+    assert raised
+
+
 def test_avi_malformed_and_unsupported():
     from koalas_spark.operators.multimodal import decode_avi, encode_avi
 
