@@ -37,7 +37,7 @@ EXPECTED = {
     # 1-row c_max frame cross-joined onto the 5-row language counts
     "lang_temperature_resample": {"BroadcastNestedLoopJoin"},
     # Arrow-vectorized Python stages (grouped-map / map-in-pandas)
-    "grouped_zscore": {"Python"},
+    "grouped_demean_arrow": {"Python"},
     "multimodal_features": {"Python"},
     "multimodal_meta": {"Python"},
     "multimodal_resize": {"Python"},
@@ -72,11 +72,45 @@ SKIP = {
 }
 
 
-def audit(sf_dir: str) -> int:
-    spark = get_spark("plan_audit")
+def inspect_plan(plan: str, name: str) -> dict:
+    """Extract the audited facts from one formatted plan string."""
+    import re
+
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan:
+        flags.append("BatchEvalPython(row-wise!)")
+    if "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan:
+        flags.append("Python")
+    # a Window above an Exchange SinglePartition funnels the whole
+    # input through ONE task — the classic global-top-k scale trap.
+    # (Single-row final aggregates also use SinglePartition but have
+    # no Window node, so this coarse conjunction stays precise.)
+    if "Window" in plan and "Exchange SinglePartition" in plan:
+        flags.append("GlobalWindow")
+    unexpected = [
+        f for f in flags if not any(f.startswith(e) for e in EXPECTED.get(name, set()))
+    ]
+    if "BatchEvalPython(row-wise!)" in flags:
+        unexpected.append("row-wise-python")
+    n_bc = plan.count("BroadcastExchange")
+    return {
+        "flags": flags,
+        "unexpected": unexpected,
+        "shuffles": plan.count("Exchange") - n_bc,
+        "broadcasts": n_bc,
+        "codegen": "codegen id" in plan,
+        "pushdown": re.search(r"PushedFilters: \[[^\]]", plan) is not None,
+    }
+
+
+def collect(spark, sf_dir: str) -> dict[str, dict]:
+    """name -> inspect_plan facts for every non-streaming query."""
     jvm = spark._jvm  # noqa: SLF001
-    rows = []
-    bad = 0
+    out = {}
     for name, fn in sorted(all_queries().items()):
         if name in SKIP:
             continue
@@ -84,46 +118,43 @@ def audit(sf_dir: str) -> int:
         plan = jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"  # noqa: SLF001
         )
-        flags = []
-        if "CartesianProduct" in plan:
-            flags.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan:
-            flags.append("BroadcastNestedLoopJoin")
-        if "BatchEvalPython" in plan:
-            flags.append("BatchEvalPython(row-wise!)")
-        if "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan:
-            flags.append("Python")
-        # a Window above an Exchange SinglePartition funnels the whole
-        # input through ONE task — the classic global-top-k scale trap.
-        # (Single-row final aggregates also use SinglePartition but have
-        # no Window node, so this coarse conjunction stays precise.)
-        if "Window" in plan and "Exchange SinglePartition" in plan:
-            flags.append("GlobalWindow")
-        unexpected = [
-            f
-            for f in flags
-            if not any(f.startswith(e) for e in EXPECTED.get(name, set()))
-        ]
-        if "BatchEvalPython(row-wise!)" in flags:
-            unexpected.append("row-wise-python")
-        n_bc = plan.count("BroadcastExchange")
-        n_ex = plan.count("Exchange") - n_bc
-        import re
+        out[name] = inspect_plan(plan, name)
+    return out
 
-        has_pushed = re.search(r"PushedFilters: \[[^\]]", plan) is not None
+
+def audit(sf_dir: str) -> int:
+    import json
+
+    spark = get_spark("plan_audit")
+    facts = collect(spark, sf_dir)
+    rows = []
+    bad = 0
+    for name, f in facts.items():
         rows.append(
             (
                 name,
-                n_ex,
-                n_bc,
-                "y" if "codegen id" in plan else "-",
-                "y" if has_pushed else "-",
-                ",".join(flags) or "-",
-                "UNEXPECTED: " + ",".join(unexpected) if unexpected else "",
+                f["shuffles"],
+                f["broadcasts"],
+                "y" if f["codegen"] else "-",
+                "y" if f["pushdown"] else "-",
+                ",".join(f["flags"]) or "-",
+                "UNEXPECTED: " + ",".join(f["unexpected"]) if f["unexpected"] else "",
             )
         )
-        if unexpected:
+        if f["unexpected"]:
             bad += 1
+    # checked-in expectations for the pytest gate (tests/test_plan_audit.py):
+    # per-query flag set + whether the scan had pushed filters
+    with open("/root/repo/PLAN_BASELINE.json", "w") as f:
+        json.dump(
+            {
+                n: {"flags": sorted(d["flags"]), "pushdown": d["pushdown"]}
+                for n, d in facts.items()
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# PLANS — physical-plan audit (auto-generated by "
