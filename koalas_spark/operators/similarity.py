@@ -251,3 +251,110 @@ def int8_brute_force_topk(
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "qdot", "qcos", "rk")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebook_src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nsub: int = 4,
+    dsub: int = 16,
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation).
+
+    The vector is split into ``nsub`` subspaces of ``dsub`` dims; each
+    subspace has a 16-entry codebook (here the sub-vectors of the
+    deterministic ``codebook_src`` rows, same "trained centroids"
+    convention as ivf_topk). Every corpus vector is ENCODED as nsub
+    bytes — at a billion vectors that is the difference between a
+    corpus that fits in executor memory (4 B/vector) and one that
+    doesn't (256 B/vector float32) — and probes score candidates by
+    summing per-subspace distance-table lookups instead of touching
+    the original vectors.
+
+    Plan shape, all scale-safe: encode = one broadcast(16-row
+    codebook) pass over the corpus + a groupBy(vec) argmin whose state
+    is nsub structs; the distance table is |probes|x16 rows,
+    broadcast; scoring is nsub broadcast-hash joins on (probe, code)
+    over the code table. The corpus never shuffles its vectors —
+    only ids + codes move. Distances round to 6 decimals before every
+    argmin/rank so the DuckDB oracle reproduces the exact ranking."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def sub(col, s):
+        return F.slice(col, s * dsub + 1, dsub)
+
+    def l2r(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    cents = codebook_src.select(
+        F.col(id_col).alias("j"), *[sub(v, s).alias(f"c{s}") for s in range(nsub)]
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), *[sub(v, s).alias(f"v{s}") for s in range(nsub)]
+    )
+    # encode: per-subspace argmin over the broadcast codebook; struct
+    # min orders by (rounded distance, j) so ties break to smaller j
+    enc = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vid",
+            "j",
+            *[
+                l2r(F.col(f"v{s}"), F.col(f"c{s}")).alias(f"d{s}")
+                for s in range(nsub)
+            ],
+        )
+        .groupBy("vid")
+        .agg(
+            *[
+                F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("j").alias("j")))
+                .getField("j")
+                .alias(f"code{s}")
+                for s in range(nsub)
+            ]
+        )
+    )
+    pvecs = probes.select(
+        F.col(id_col).alias("probe_id"),
+        *[sub(v, s).alias(f"p{s}") for s in range(nsub)],
+    )
+    dt = pvecs.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "j",
+        *[l2r(F.col(f"p{s}"), F.col(f"c{s}")).alias(f"t{s}") for s in range(nsub)],
+    )
+    scored = enc
+    for s in range(nsub):
+        dts = dt.select(
+            "probe_id" if s == 0 else F.col("probe_id").alias(f"_pb{s}"),
+            F.col("j").alias(f"_j{s}"),
+            f"t{s}",
+        )
+        on = [F.col(f"code{s}") == F.col(f"_j{s}")]
+        if s > 0:
+            on.append(F.col("probe_id") == F.col(f"_pb{s}"))
+        scored = scored.join(F.broadcast(dts), on[0] if len(on) == 1 else on[0] & on[1])
+    adist = F.round(sum(F.col(f"t{s}") for s in range(nsub)), 6)
+    scored = (
+        scored.filter(F.col("vid") != F.col("probe_id"))
+        .select("probe_id", F.col("vid").alias("neighbor_id"), adist.alias("adist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "adist", "rk")
+    )

@@ -885,3 +885,47 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order_cols=["o_orderdate", "o_orderkey"],
         direction="forward",
     )
+
+
+# --------------------------------------------------------------------
+# 147. explicitly-salted hot-key join — the skew lever for the case
+# AQE can't fix: a fact table whose key histogram has a few dominant
+# values joined to a side that is too big to broadcast. The left
+# (events) side gets a deterministic salt in [0,8) (xxhash64 of the
+# whole row, no rand() — speculative retries stay consistent); the
+# right (per-user profile) side replicates 8x via explode; the join
+# key becomes (user_id, salt) so each hot user spreads over 8
+# reducers. Salting is result-invariant, which is exactly what the
+# oracle checks: the unsalted SQL join must produce identical
+# aggregates. operators/skew.py:salted_join.
+@query(
+    "salted_join_hot_users",
+    oracle="""
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS u_events FROM events GROUP BY user_id)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT)      AS n,
+       CAST(SUM(p.u_events) AS BIGINT) AS sum_user_activity,
+       CAST(MIN(p.u_events) AS BIGINT) AS min_user_activity,
+       CAST(MAX(p.u_events) AS BIGINT) AS max_user_activity
+FROM events e JOIN profile p USING (user_id)
+GROUP BY e.event_type
+""",
+)
+def salted_join_hot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("u_events"))
+    # event_id rides along so the row-hash salt varies WITHIN a hot
+    # user (salting on a projection of duplicate rows would collapse
+    # to one salt per user and spread nothing)
+    enriched = salted_join(
+        ev.select("user_id", "event_type", "event_id"), profile, "user_id", salt=8
+    )
+    return enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("u_events").cast("bigint").alias("sum_user_activity"),
+        F.min("u_events").cast("bigint").alias("min_user_activity"),
+        F.max("u_events").cast("bigint").alias("max_user_activity"),
+    )

@@ -98,3 +98,67 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return int8_brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
+
+
+def _pq_sub(x: str, s: int, dsub: int = 16) -> str:
+    return f"({x})[{s * dsub + 1}:{s * dsub + dsub}]"
+
+
+def _pq_l2r(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(1, 17), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))), 6)"
+    )
+
+
+_PQ_CODES = ", ".join(
+    f"CAST(MIN([{_pq_l2r(_pq_sub('v.e', s), _pq_sub('c.e', s))}, "
+    f"CAST(c.j AS DOUBLE)])[2] AS BIGINT) AS code{s}"
+    for s in range(4)
+)
+_PQ_DT = ", ".join(
+    f"{_pq_l2r(_pq_sub('p.e', s), _pq_sub('c.e', s))} AS t{s}" for s in range(4)
+)
+
+
+# 145. product-quantization ANN — the memory lever past int8: each
+# 64-dim vector encodes as 4 codebook bytes (4 subspaces x 16-entry
+# codebooks, "trained" as the sub-vectors of vec_id < 16, the same
+# deterministic convention as ann_ivf_topk), and probes score via
+# asymmetric distance-table lookups without touching corpus vectors.
+# Everything rounds to 6 decimals before argmin/rank, so the DuckDB
+# oracle reproduces codes, distances, and the full ranking exactly.
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS j, e FROM v WHERE vec_id < 16),
+enc AS (
+  SELECT v.vec_id AS vid, {_PQ_CODES}
+  FROM v CROSS JOIN cents c GROUP BY v.vec_id),
+dt AS (
+  SELECT p.vec_id AS probe_id, c.j, {_PQ_DT}
+  FROM v p CROSS JOIN cents c WHERE p.vec_id < 5),
+scored AS (
+  SELECT dt0.probe_id, enc.vid AS neighbor_id,
+         ROUND(dt0.t0 + dt1.t1 + dt2.t2 + dt3.t3, 6) AS adist
+  FROM enc
+  JOIN dt dt0 ON dt0.j = enc.code0
+  JOIN dt dt1 ON dt1.probe_id = dt0.probe_id AND dt1.j = enc.code1
+  JOIN dt dt2 ON dt2.probe_id = dt0.probe_id AND dt2.j = enc.code2
+  JOIN dt dt3 ON dt3.probe_id = dt0.probe_id AND dt3.j = enc.code3
+  WHERE enc.vid != dt0.probe_id)
+SELECT probe_id, neighbor_id, adist, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY adist ASC, neighbor_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= 5
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook_src = emb.filter(F.col("vec_id") < 16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, probes, codebook_src, "vec_id", "embedding", k=5)

@@ -239,3 +239,117 @@ def docs_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# 146. PII scrub — the redaction pass every training-data pipeline
+# runs before anything else. The synthetic corpus contains no PII, so
+# the query PLANTS deterministic PII (an email for doc_id % 7 == 0, a
+# phone for % 7 == 1, an IPv4 for % 7 == 2 — pure functions of
+# doc_id) and then finds and redacts it with the real regexes; the
+# planted fraction proves the scrubber actually fires (n > 0 is
+# asserted in tests, not just oracle-matched). Pure per-row codegen
+# expressions — zero shuffles before the final per-source stats — and
+# the oracle replays injection + regex + redaction in DuckDB, with
+# md5 of every scrubbed text keeping the check byte-exact.
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         text || CASE doc_id % 7
+           WHEN 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+           ELSE '' END AS t
+  FROM documents),
+scrub AS (
+  SELECT doc_id, source,
+         LEN(regexp_extract_all(t, '{_PII_EMAIL}'))  AS n_email,
+         LEN(regexp_extract_all(t, '{_PII_PHONE}'))  AS n_phone,
+         LEN(regexp_extract_all(t, '{_PII_IP}'))     AS n_ip,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS scrubbed
+  FROM aug)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)   AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT)    AS n_ips,
+       md5(string_agg(md5(scrubbed), '' ORDER BY doc_id)) AS scrub_digest
+FROM scrub GROUP BY source
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+        )
+        .otherwise(F.lit("")),
+    )
+    t = F.col("t")
+    scrub = d.select(
+        "doc_id",
+        "source",
+        inject.alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(t, F.lit(_PII_IP)).cast("long").alias("n_ip"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        ).alias("scrubbed"),
+    )
+    # per-source digest of every scrubbed doc, order-pinned by doc_id:
+    # sort_array over (doc_id, md5) structs keeps the aggregation
+    # mergeable (arrays of 32-byte hashes, not full texts)
+    return scrub.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("n_ip").cast("bigint").alias("n_ips"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id"),
+                                F.md5(F.col("scrubbed").cast("binary")).alias("h"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("h"),
+                ),
+            ).cast("binary")
+        ).alias("scrub_digest"),
+    )

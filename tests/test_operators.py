@@ -164,3 +164,16 @@ def test_simhash_null_empty_policy(spark):
     # the three degenerate docs pairwise collapse at hamming 0
     for a, b in [(1, 2), (1, 3), (2, 3)]:
         assert got[(a, b)] == 0
+
+
+def test_pii_scrub_actually_fires(spark):
+    """Guard against a dead scrubber (the lang_temperature lesson): the
+    planted PII must be found — every source sees nonzero redactions
+    overall, and each PII family triggers somewhere."""
+    from tests.conftest import SF_SMOKE
+    from koalas_spark.queries import all_queries
+
+    out = all_queries()["text_pii_scrub"](spark, SF_SMOKE).collect()
+    assert sum(r["n_emails"] for r in out) > 0
+    assert sum(r["n_phones"] for r in out) > 0
+    assert sum(r["n_ips"] for r in out) > 0

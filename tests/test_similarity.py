@@ -57,3 +57,29 @@ def test_int8_quantized_topk_recall(spark):
     for r in qrows[:10]:
         want = int(q(vecs[r.probe_id]) @ q(vecs[r.neighbor_id]))
         assert r.qdot == want
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ with per-axis codebooks must keep most true neighbors for
+    clustered vectors (same-axis cluster members share codes)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from koalas_spark.operators.similarity import brute_force_topk, pq_topk
+
+    def vec(axis, eps, dim=64):
+        v = [eps * math.sin(i + 1) for i in range(dim)]
+        v[axis * 7] += 1.0
+        return v
+
+    rows = [(i, vec(i % 3, 0.01 * (i // 3))) for i in range(18)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 3)
+    codebook = emb.filter(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, probes, "vec_id", "embedding", k=3)
+    approx = pq_topk(emb, probes, codebook, "vec_id", "embedding", k=3)
+    exact_set = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5

@@ -25,6 +25,8 @@ EXPECTED = {
     # is bounded by construction, so a broadcast nested loop is the plan
     "ann_bruteforce_topk": {"BroadcastNestedLoopJoin"},
     "ann_int8_topk": {"BroadcastNestedLoopJoin"},
+    # 16-row codebook / 5-row probe frames cross-joined by construction
+    "ann_pq_topk": {"BroadcastNestedLoopJoin"},
     "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},
     "q19_discount_revenue": {"BroadcastNestedLoopJoin"},
