@@ -66,10 +66,13 @@ def _load() -> None:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         corpus,
+        graphq,
         layout,
         parity,
         pipeline,
+        retrieval,
         text,
         dedup,
         similarity,

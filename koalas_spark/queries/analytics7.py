@@ -1,0 +1,79 @@
+"""Time-series smoothing analytics over the events stream (§2.2
+extension).
+
+Reference parity note: the reference (blachlylab/koalas) computes
+per-group numeric aggregates via groupby.d numericApply; EWMA is the
+ordered-window counterpart a telemetry pipeline layers on top. The
+kernel here is engineered for cross-engine bit-exactness: dyadic
+weights and a fixed association order make every double operation
+identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+
+# truncated EWMA kernel, alpha = 1/2: weight 2^-(j+1) on the j-th most
+# recent value. Powers of two scale a double's exponent only — exact —
+# and the sum is folded in one fixed left-to-right chain, so the result
+# is a deterministic function of the input doubles in any engine.
+_W = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625]
+
+
+# --------------------------------------------------------------------
+# 151. per-user EWMA of event value at the latest event. An
+# exponential moving average is the classic stream smoother, but the
+# recursive form (ema_t = a*v_t + (1-a)*ema_{t-1}) is not expressible
+# as a SQL window and would force a stateful per-key scan; truncating
+# the kernel at 8 taps (residual weight 2^-8 < 0.4%) turns it into a
+# pure lag-window expression: ONE shuffle on user_id, no Python, no
+# iteration, identical answers on any partitioning. The final
+# row-per-user is a WindowGroupLimit (rank over the same window spec,
+# so Spark computes both in a single sort — no second exchange).
+@query(
+    "ewma_user_value",
+    oracle=f"""
+SELECT user_id, last_ts, ema8 FROM (
+  SELECT user_id, ts AS last_ts,
+         ROUND((COALESCE(value, 0.0) * {_W[0]})
+           + (COALESCE(LAG(value, 1) OVER w, 0.0) * {_W[1]})
+           + (COALESCE(LAG(value, 2) OVER w, 0.0) * {_W[2]})
+           + (COALESCE(LAG(value, 3) OVER w, 0.0) * {_W[3]})
+           + (COALESCE(LAG(value, 4) OVER w, 0.0) * {_W[4]})
+           + (COALESCE(LAG(value, 5) OVER w, 0.0) * {_W[5]})
+           + (COALESCE(LAG(value, 6) OVER w, 0.0) * {_W[6]})
+           + (COALESCE(LAG(value, 7) OVER w, 0.0) * {_W[7]}), 6) AS ema8,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
+WHERE rk = 1
+""",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ema = F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(_W[0])
+    for j in range(1, 8):
+        ema = ema + F.coalesce(F.lag("value", j).over(w), F.lit(0.0)) * F.lit(
+            _W[j]
+        )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.round(ema, 6).alias("ema8"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("user_id", "last_ts", "ema8")
+    )

@@ -675,3 +675,89 @@ def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").cast("bigint").alias("min_kept_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 150. deterministic epoch-mixture replication — the "dataset mixing"
+# step of a pre-training run: each source gets a sampling WEIGHT in
+# epochs (2.5 = see every doc 2.5 times, 0.5 = subsample half), the
+# integer part becomes whole copies and the fractional part a hash
+# coin for one extra copy (doc-stable, so re-runs and engines agree;
+# weights below 1.0 degenerate to pure subsampling). Weights live in
+# integer TENTHS — no float weight ever touches the predicate, so the
+# coin threshold (frac * 65536 div 10) is exact. Plan shape: the
+# weight is derived per-row from the source id (in production a
+# broadcast weight table), the copy count is a pure expression, and
+# explode(sequence(1, n_copies)) replicates rows map-side — zero
+# shuffles before the final per-source audit aggregate, and the
+# explode's fan-out equals the epoch weight, exactly the data-volume
+# multiplier a mixing stage is supposed to cost at 100 TB.
+@query(
+    "doc_mixture_epochs",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tok,
+         (CAST(SUBSTR(source, 4) AS INT) % 5) * 5 + 5 AS w10
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tok, w10,
+         w10 // 10
+         + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4)
+                     < printf('%04x', (w10 % 10) * 65536 // 10)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w)
+SELECT source,
+       CAST(MAX(w10) AS BIGINT)                    AS weight_tenths,
+       COUNT(*)                                    AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT)               AS n_copies,
+       CAST(SUM(n_copies * n_tok) AS BIGINT)       AS tokens_out
+FROM c GROUP BY source
+""",
+)
+def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w10 = (F.substring("source", 4, 10).cast("int") % 5) * 5 + 5
+    coin = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch"))), 1, 4
+    )
+    thresh = F.format_string(
+        "%04x", ((F.col("w10") % 10) * 65536 / F.lit(10)).cast("int")
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        w10.alias("w10"),
+    ).withColumn(
+        "n_copies",
+        F.expr("w10 div 10")
+        + F.when(coin < thresh, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # the actual replication operator: one exploded row per epoch copy
+    copies = base.filter(F.col("n_copies") > 0).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        "w10",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+    )
+    audit = copies.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_tok").cast("bigint").alias("tokens_out"),
+    )
+    # n_docs counts source docs (pre-replication), so it comes from the
+    # base frame; the join is a 20-row broadcast
+    per_src = base.groupBy("source").agg(
+        F.max("w10").cast("bigint").alias("weight_tenths"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_src.join(F.broadcast(audit), "source", "left").select(
+        "source",
+        "weight_tenths",
+        "n_docs",
+        F.coalesce("n_copies", F.lit(0)).cast("bigint").alias("n_copies"),
+        F.coalesce("tokens_out", F.lit(0)).cast("bigint").alias("tokens_out"),
+    )

@@ -1,0 +1,189 @@
+"""Retrieval-layer queries over the documents corpus: BM25 ranked
+search against the token index, and cross-document boilerplate n-gram
+detection (the template/navigation-chrome removal step of a web
+pre-training pipeline).
+
+Reference parity note: the reference (blachlylab/koalas) has no IR
+layer; these extend the §2.5 text-analysis family the same way
+tfidf_top_terms/inverted_index do, reusing its determinism
+conventions (integer-scaled idf rationals — dataframe.d has no
+floating aggregates to mirror, and libm log is not correctly-rounded
+across engines, so ranking math stays in BIGINT end-to-end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from koalas_spark.functions.textfn import token_count, tokens, word_shingles
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+
+# The benchmark query set: (query_id, term). 'dup' is the one rare
+# term in the corpus vocabulary (df ~26 vs ~900 for everything else),
+# so q0 exercises the idf contrast; q1/q2 are uniform-df queries where
+# the tf-normalization decides the ranking.
+_QUERIES: list[tuple[int, str]] = [
+    (0, "hash"),
+    (0, "join"),
+    (0, "dup"),
+    (1, "window"),
+    (1, "sort"),
+    (1, "merge"),
+    (2, "table"),
+    (2, "scan"),
+    (2, "filter"),
+]
+
+_Q_VALUES = ", ".join(f"({qid}, '{t}')" for qid, t in _QUERIES)
+
+
+# --------------------------------------------------------------------
+# 148. BM25 top-k retrieval. Plan shape for a 100 TB corpus:
+#   1. the query-term table broadcasts onto the exploded token stream,
+#      so everything NOT matching a query term dies before the first
+#      shuffle (in a real corpus query terms are a vanishing fraction
+#      of the token stream; here the tiny vocab makes the prune mild);
+#   2. ONE shuffle on (term, doc_id) builds tf with map-side combine;
+#      df derives from the materialized tf frame (count of rows per
+#      term — already distinct by construction), not a second pass;
+#   3. doc length comes straight off the documents scan (no explode),
+#      and corpus totals (N docs, T tokens) are a 1-row broadcast;
+#   4. per-(query, doc) scores are an integer SUM — order-independent,
+#      so any partitioning gives the identical ranking.
+# Scoring is the BM25 shape (k1=1.2, b=0.75) with the Robertson idf's
+# rational core kept UN-logged and integer-scaled — ln() is not
+# correctly rounded in libm/JVM, and a monotone transform of the
+# per-term weight is the price of a bit-exact cross-engine oracle:
+#   idf_s   = (2*(N-df)+1) * 1000 div (2*df+1)        # (N-df+.5)/(df+.5)
+#   tfnorm  = 22*tf*T*1000 div (10*tf*T + 3*T + 9*dl*N)
+#             # == 1000 * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+#   score   = SUM over query terms of idf_s * tfnorm
+# Overflow headroom: 22*tf*T*1000 needs tf*T < 4e14; per-doc tf is
+# bounded by doc length (~1e3), so T (corpus tokens) can reach ~4e11
+# before the numerator nears int64 — beyond that, drop the x1000 tfnorm
+# scale (documented seam, not hit at any bench SF).
+@query(
+    "bm25_topk",
+    oracle=f"""
+WITH q(query_id, term) AS (VALUES {_Q_VALUES}),
+tok AS (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS term
+        FROM documents),
+qt AS (SELECT DISTINCT term FROM q),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf
+       FROM tok JOIN qt USING (term) GROUP BY term, doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS dl
+       FROM documents),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(((2 * (st.n - dfq.df) + 1) * 1000 // (2 * dfq.df + 1))
+             * ((22 * tf.tf * st.t * 1000)
+                // (10 * tf.tf * st.t + 3 * st.t + 9 * dl.dl * st.n)))
+           AS score
+  FROM tf JOIN q USING (term)
+          JOIN dfq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN st
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= 5
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_QUERIES, "query_id int, term string")
+    qt = q.select("term").distinct()
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds both df and the score join
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    )
+    idf_s = F.expr("(2 * (n - df) + 1) * 1000 div (2 * df + 1)")
+    tfnorm = F.expr(
+        "(22 * tf * t * 1000) div (10 * tf * t + 3 * t + 9 * dl * n)"
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf_s * tfnorm).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+# --------------------------------------------------------------------
+# 149. boilerplate n-gram detection: word 3-grams shared by >= 5
+# distinct documents, with how many sources they span (a phrase
+# repeated across many sources is site chrome / license text / JS
+# boilerplate — the classic pre-LLM filter before near-dedup).
+# Plan: distinct shingles per doc (list_distinct inside the codegen
+# expression — a doc repeating a phrase 100x still contributes df 1),
+# ONE shuffle on the shingle for the (df, source-spread) aggregate,
+# then a 20-row global top-k: ORDER BY + LIMIT lowers to TakeOrdered
+# (each partition ships <= 20 rows to the driver-side merge, no global
+# sort materialization). Aggregation buffers hold two counters per
+# shingle — no posting lists — so the hot-shingle row is O(1) at any
+# corpus size.
+@query(
+    "boilerplate_ngrams",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             range(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+           AS shingle
+  FROM (SELECT doc_id, source,
+               string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 3)
+SELECT shingle, n_docs, n_sources FROM (
+  SELECT shingle, COUNT(*) AS n_docs,
+         COUNT(DISTINCT source) AS n_sources
+  FROM sh GROUP BY shingle HAVING COUNT(*) >= 5) g
+ORDER BY n_docs DESC, shingle ASC LIMIT 20
+""",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # materialize the token array first: word_shingles' lambda indexes
+    # its input per shingle, so an inline tokens() would re-tokenize
+    # each doc ~3x|shingles| times (see the word_shingles docstring)
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("toks"), 3)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 5)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+        .limit(20)
+    )

@@ -38,6 +38,11 @@ EXPECTED = {
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row c_max frame cross-joined onto the 5-row language counts
     "lang_temperature_resample": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
+    # the per-(term,doc) tf rows
+    "bm25_topk": {"BroadcastNestedLoopJoin"},
+    # 1-row node-count frame cross-joined onto the 25-row nation frame
+    "pagerank_nations": {"BroadcastNestedLoopJoin"},
     # Arrow-vectorized Python stages (grouped-map / map-in-pandas)
     "grouped_demean_arrow": {"Python"},
     "multimodal_features": {"Python"},
