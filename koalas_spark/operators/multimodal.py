@@ -662,3 +662,169 @@ def video_frame_index(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         op,
         schema="doc_id bigint, frame_no int, width int, height int, frame_sha string, kind string",
     )
+
+
+# ---------------- real compressed codec: PNG (zlib is stdlib) ----------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Real PNG encoder for an (h, w) uint8 grayscale array: 8-bit
+    color type 0, zlib-compressed IDAT. Scanline filters are chosen to
+    exercise the decoder — row 0 None(0), odd rows Sub(1), even rows
+    Up(2) — and every chunk carries its correct CRC32."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    rows = []
+    for y in range(h):
+        line = img[y].astype(np.int16)
+        if y == 0:
+            rows.append(b"\x00" + img[y].tobytes())
+        elif y % 2 == 1:  # Sub: raw[x] = cur[x] - cur[x-1]
+            d = np.empty(w, dtype=np.int16)
+            d[0] = line[0]
+            d[1:] = line[1:] - line[:-1]
+            rows.append(b"\x01" + (d % 256).astype(np.uint8).tobytes())
+        else:  # Up: raw[x] = cur[x] - prev[x]
+            d = line - img[y - 1].astype(np.int16)
+            rows.append(b"\x02" + (d % 256).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(rows), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Real PNG decoder (pure numpy + stdlib zlib) for 8-bit grayscale
+    (color type 0) and 8-bit RGB (color type 2): signature + chunk
+    walk with CRC32 verification, multi-IDAT concatenation, zlib
+    inflate, and ALL FIVE scanline filters (None/Sub/Up/Average/
+    Paeth). Interlace, palette, and sub-8-bit depths raise
+    NotImplementedError like the other codecs' unsupported variants."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", blob[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_i not in (0, 2):
+        raise NotImplementedError(f"PNG depth {depth} color {ctype_i}")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG")
+    bpp = 3 if ctype_i == 2 else 1
+    stride = w * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub — sequential in x, vectorized per pixel-column mod
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) % 256
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (line[x] + _paeth(left, int(prev[x]), ul)) % 256
+        else:
+            raise ValueError(f"PNG filter {f}")
+        out[y] = (rec % 256).astype(np.uint8)
+    return out.reshape((h, w, 3)) if bpp == 3 else out.reshape((h, w))
+
+
+def png_roundtrip(df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 16) -> DataFrame:
+    """Compressed-codec pipeline: raster bytes → REAL PNG encode
+    (zlib DEFLATE + CRC-checked chunks) → REAL PNG decode → decoded
+    pixels out, through Arrow-batched mapInPandas. The decode fully
+    re-derives the pixels from the compressed container (filters
+    un-applied, CRCs verified), so a sha over the output proves the
+    codec lossless end-to-end. Shuffle-free map; short payloads yield
+    null pixels (the malformed-media path)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, pix = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["raster"]):
+                ids.append(doc_id)
+                b = bytes(blob)
+                if len(b) < w * h:
+                    ns.append(None)
+                    pix.append(None)
+                    continue
+                img = np.frombuffer(b, np.uint8, w * h).reshape((h, w))
+                png = encode_png(img)
+                ns.append(len(png))
+                pix.append(decode_png(png).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "png_bytes": pd.array(ns, dtype="Int64"),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(id_col, "raster").mapInPandas(
+        op, schema=f"{id_col} bigint, png_bytes bigint, pixels binary"
+    )

@@ -358,3 +358,146 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "adist", "rk")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids_src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+    nsub: int = 4,
+    dsub: int = 16,
+) -> DataFrame:
+    """IVF+PQ — the two scale levers composed, as a billion-vector
+    index actually deploys them: the IVF coarse quantizer prunes the
+    candidate set (probes touch only their ``nprobe`` nearest cells)
+    and PQ codes score the survivors via distance-table lookups, so
+    neither the full corpus nor any float vector is ever shuffled or
+    scanned at query time.
+
+    One broadcast(centroids) pass over the corpus computes BOTH the
+    cell assignment (argmax rounded cosine, ties to the smaller
+    centroid id) and the ``nsub`` PQ codes (per-subspace argmin L2) in
+    a single groupBy — in production this is the one-time index build;
+    the query side is all broadcast-hash joins against |probes|-sized
+    frames. Cell argmax keys on (1 - cos) rather than -cos so the
+    comparison never manufactures a negative zero. Every distance
+    rounds to 6 decimals before argmin/rank, so a SQL oracle
+    reproduces cells, codes, and the full ranking bit-for-bit.
+    Non-residual variant (codes quantize the raw vector, not
+    v - centroid): residual encoding needs a per-cell codebook train
+    pass, which is a model-fitting step, not a query."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def sub(col, s):
+        return F.slice(col, s * dsub + 1, dsub)
+
+    def l2r(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def cosr(avec, an, bvec, bn):
+        return F.round(
+            F.aggregate(
+                F.zip_with(avec, bvec, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sqrt(an * bn),
+            6,
+        )
+
+    cents = centroids_src.select(
+        F.col(id_col).alias("j"),
+        v.alias("cvec"),
+        norm_sq(v).alias("cn"),
+        *[sub(v, s).alias(f"c{s}") for s in range(nsub)],
+    )
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        v.alias("bvec"),
+        norm_sq(v).alias("bn"),
+        *[sub(v, s).alias(f"v{s}") for s in range(nsub)],
+    )
+    # index build: cell + codes from ONE pass over broadcast centroids
+    enc = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vid",
+            "j",
+            (1.0 - cosr(F.col("bvec"), F.col("bn"), F.col("cvec"), F.col("cn"))).alias("ic"),
+            *[l2r(F.col(f"v{s}"), F.col(f"c{s}")).alias(f"d{s}") for s in range(nsub)],
+        )
+        .groupBy("vid")
+        .agg(
+            F.min(F.struct(F.col("ic").alias("d"), F.col("j").alias("j")))
+            .getField("j")
+            .alias("cell"),
+            *[
+                F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("j").alias("j")))
+                .getField("j")
+                .alias(f"code{s}")
+                for s in range(nsub)
+            ],
+        )
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        v.alias("pvec"),
+        norm_sq(v).alias("pn"),
+        *[sub(v, s).alias(f"p{s}") for s in range(nsub)],
+    )
+    w_probe = Window.partitionBy("probe_id").orderBy(
+        F.col("ic").asc(), F.col("j").asc()
+    )
+    pcells = (
+        pv.crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "j",
+            (1.0 - cosr(F.col("pvec"), F.col("pn"), F.col("cvec"), F.col("cn"))).alias("ic"),
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= nprobe)
+        .select("probe_id", F.col("j").alias("cell"))
+    )
+    dt = pv.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "j",
+        *[l2r(F.col(f"p{s}"), F.col(f"c{s}")).alias(f"t{s}") for s in range(nsub)],
+    )
+    scored = enc.join(F.broadcast(pcells), "cell").filter(
+        F.col("vid") != F.col("probe_id")
+    )
+    for s in range(nsub):
+        dts = dt.select(
+            F.col("probe_id").alias(f"_pb{s}"),
+            F.col("j").alias(f"_j{s}"),
+            f"t{s}",
+        )
+        scored = scored.join(
+            F.broadcast(dts),
+            (F.col("probe_id") == F.col(f"_pb{s}"))
+            & (F.col(f"code{s}") == F.col(f"_j{s}")),
+        )
+    adist = F.round(sum(F.col(f"t{s}") for s in range(nsub)), 6)
+    scored = scored.select(
+        "probe_id", F.col("vid").alias("neighbor_id"), adist.alias("adist")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "adist", "rk")
+    )

@@ -284,3 +284,36 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blob"),
     )
     return video_frame_index(avi, "doc_id")
+
+
+# 154. REAL compressed codec: raster -> PNG (stdlib-zlib DEFLATE,
+# CRC32-checked chunks, mixed None/Sub/Up scanline filters) -> full
+# PNG decode (chunk walk + inflate + unfilter) through mapInPandas,
+# proving losslessness end-to-end: the sha of the DECODED pixels must
+# equal the sha of the raw 256-char raster the oracle computes in SQL
+# (corpus is ASCII, so DuckDB chars == Spark bytes). png_bytes stays
+# out of the result on purpose — DEFLATE stream length is not
+# SQL-derivable; the Average/Paeth filter paths and the RGB color
+# type are pinned by unit tests instead (tests/test_multimodal.py).
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+SELECT doc_id, TRUE AS png_ok,
+       sha256(substring(text, 1, 256)) AS pixel_sha
+FROM documents WHERE octet_length(encode(text)) >= 256
+""",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import png_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    rast = docs.select(
+        "doc_id",
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256).alias("raster"),
+    )
+    out = png_roundtrip(rast, "doc_id", w=16, h=16)
+    return out.select(
+        "doc_id",
+        (F.col("png_bytes") > 0).alias("png_ok"),
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )

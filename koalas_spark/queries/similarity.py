@@ -162,3 +162,78 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook_src = emb.filter(F.col("vec_id") < 16)
     probes = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, probes, codebook_src, "vec_id", "embedding", k=5)
+
+
+_IPQ_COS = (
+    "ROUND(list_dot_product({a}.e, {b}.e)"
+    " / SQRT(list_dot_product({a}.e, {a}.e) * list_dot_product({b}.e, {b}.e)), 6)"
+)
+_IPQ_D = ", ".join(
+    f"{_pq_l2r(_pq_sub('v.e', s), _pq_sub('c.e', s))} AS d{s}" for s in range(4)
+)
+_IPQ_ENC = ", ".join(
+    f"CAST(MIN([d{s}, CAST(j AS DOUBLE)])[2] AS BIGINT) AS code{s}"
+    for s in range(4)
+)
+_IPQ_DT = ", ".join(
+    f"{_pq_l2r(_pq_sub('p.e', s), _pq_sub('c.e', s))} AS t{s}" for s in range(4)
+)
+
+
+# 153. IVF+PQ composed — the deployed billion-vector shape: the coarse
+# quantizer restricts each probe to its nprobe=2 nearest cells and PQ
+# codes score the candidates via distance-table lookups; the index
+# build (cell + 4 codes per vector) is ONE broadcast-centroid pass
+# over the corpus. Cell argmax keys on (1 - rounded cos) so no
+# negative zero ever enters a comparison; with 6-decimal rounding
+# before every argmin/rank the oracle reproduces the index AND the
+# ranking exactly.
+@query(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS j, e FROM v WHERE vec_id < 16),
+ac AS (
+  SELECT v.vec_id AS vid, c.j,
+         1.0 - {_IPQ_COS.format(a="v", b="c")} AS ic,
+         {_IPQ_D}
+  FROM v CROSS JOIN cents c),
+enc AS (
+  SELECT vid,
+         CAST(MIN([ic, CAST(j AS DOUBLE)])[2] AS BIGINT) AS cell,
+         {_IPQ_ENC}
+  FROM ac GROUP BY vid),
+pc AS (
+  SELECT vid AS probe_id, j AS cell FROM (
+    SELECT vid, j,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY ic ASC, j ASC) AS rk
+    FROM ac WHERE vid < 5) t
+  WHERE rk <= 2),
+dt AS (SELECT p.vec_id AS probe_id, c.j, {_IPQ_DT}
+       FROM v p CROSS JOIN cents c WHERE p.vec_id < 5),
+cand AS (
+  SELECT pc.probe_id, enc.vid AS neighbor_id,
+         enc.code0, enc.code1, enc.code2, enc.code3
+  FROM enc JOIN pc ON enc.cell = pc.cell AND enc.vid != pc.probe_id),
+scored AS (
+  SELECT cand.probe_id, cand.neighbor_id,
+         ROUND(d0.t0 + d1.t1 + d2.t2 + d3.t3, 6) AS adist
+  FROM cand
+  JOIN dt d0 ON d0.probe_id = cand.probe_id AND d0.j = cand.code0
+  JOIN dt d1 ON d1.probe_id = cand.probe_id AND d1.j = cand.code1
+  JOIN dt d2 ON d2.probe_id = cand.probe_id AND d2.j = cand.code2
+  JOIN dt d3 ON d3.probe_id = cand.probe_id AND d3.j = cand.code3)
+SELECT probe_id, neighbor_id, adist, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY adist ASC, neighbor_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= 5
+""",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(emb, probes, cents, "vec_id", "embedding", k=5, nprobe=2)

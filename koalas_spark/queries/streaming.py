@@ -173,3 +173,25 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.stat(src).st_mtime)}"
     out = os.path.join("/root/repo/.tmp", f"fb_lake_{tag}")
     return stream_foreachbatch_parquet(spark, src, out)
+
+
+# 155. streaming sliding-window agg — the batch sliding definition
+# (#57) executed by the streaming engine: 1h windows every 30min, each
+# event assigned to 2 windows at ingest, watermark-evicted state.
+# Oracle shared with the batch query (time_bucket union of the two
+# containing windows).
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+WITH shifted AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type, value FROM events)
+SELECT window_start, event_type, COUNT(*) AS n, {_dsum_sql('value')} AS sum_value
+FROM shifted GROUP BY window_start, event_type
+""",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_sliding_counts
+
+    return stream_sliding_counts(spark, f"{sf_dir}/events.parquet")

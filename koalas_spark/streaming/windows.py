@@ -296,3 +296,34 @@ def stream_foreachbatch_parquet(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window aggregation through the streaming engine: each
+    event lands in window/slide overlapping windows (2 here), assigned
+    by the engine at ingest — the state store carries one row per
+    (window, type), evicted once the watermark passes window end.
+    Same complete-mode memory-sink drive as stream_tumbling_counts;
+    the batch sliding query (#57) supplies the shared oracle."""
+    src = _staged_events_stream(spark, events_path, "sl")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    return _run_to_memory(
+        spark,
+        agg,
+        lambda t: t.select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        ),
+    )

@@ -401,3 +401,104 @@ def test_video_frame_index_matches_hashlib(spark):
         assert (r.width, r.height, r.frame_sha, r.kind) == (
             8, 8, want, "video/x-msvideo",
         )
+
+
+def _png_raw(img, filters):
+    """Hand-build a PNG whose rows use the given filter types —
+    exercises decode paths the encoder doesn't emit (Average/Paeth,
+    RGB)."""
+    import struct
+    import zlib
+
+    from koalas_spark.operators.multimodal import _paeth, _png_chunk, _PNG_SIG
+
+    if img.ndim == 3:
+        h, w, bpp = img.shape
+        ctype = 2
+    else:
+        h, w = img.shape
+        bpp = 1
+        ctype = 0
+    flat = img.reshape(h, w * bpp).astype(np.int32)
+    out = []
+    for y, f in enumerate(filters):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * bpp, np.int32)
+        raw = np.empty(w * bpp, np.int32)
+        for x in range(w * bpp):
+            left = line[x - bpp] if x >= bpp else 0
+            ul = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                raw[x] = line[x]
+            elif f == 1:
+                raw[x] = line[x] - left
+            elif f == 2:
+                raw[x] = line[x] - prev[x]
+            elif f == 3:
+                raw[x] = line[x] - (left + prev[x]) // 2
+            else:
+                raw[x] = line[x] - _paeth(int(left), int(prev[x]), int(ul))
+        out.append(bytes([f]) + (raw % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters_and_rgb():
+    from koalas_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    # every filter type, including Average and Paeth
+    assert np.array_equal(decode_png(_png_raw(gray, [0, 1, 2, 3, 4, 3, 4])), gray)
+    rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(_png_raw(rgb, [4, 3, 2, 1])), rgb)
+    # encoder output decodes losslessly (None/Sub/Up mix)
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+
+
+def test_png_rejects_corruption_and_unsupported():
+    import pytest
+
+    from koalas_spark.operators.multimodal import decode_png, encode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = bytearray(encode_png(img))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope" + bytes(png))
+    tampered = bytearray(png)
+    tampered[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(tampered))
+    # 16-bit depth is declared unsupported, not silently misread
+    import struct
+    import zlib
+
+    from koalas_spark.operators.multimodal import _png_chunk, _PNG_SIG
+
+    ihdr16 = struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
+    deep = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (8 * 17)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(deep)
+
+
+def test_png_roundtrip_query_null_path(spark):
+    from koalas_spark.operators.multimodal import png_roundtrip
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(256)))), (2, bytearray(b"short"))],
+        "doc_id long, raster binary",
+    )
+    got = {r.doc_id: r for r in png_roundtrip(df, "doc_id").collect()}
+    assert got[2].png_bytes is None and got[2].pixels is None
+    assert got[1].png_bytes > 0 and bytes(got[1].pixels) == bytes(range(256))

@@ -27,6 +27,9 @@ EXPECTED = {
     "ann_int8_topk": {"BroadcastNestedLoopJoin"},
     # 16-row codebook / 5-row probe frames cross-joined by construction
     "ann_pq_topk": {"BroadcastNestedLoopJoin"},
+    "ann_ivf_pq_topk": {"BroadcastNestedLoopJoin"},
+    # real PNG encode/decode (stdlib zlib) runs in mapInPandas
+    "multimodal_png_roundtrip": {"Python"},
     "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},
     "q19_discount_revenue": {"BroadcastNestedLoopJoin"},
@@ -76,6 +79,7 @@ SKIP = {
     "stream_stateful_sessions",
     "stream_windowed_distinct_users",
     "stream_foreachbatch_sink",
+    "stream_sliding_agg",
 }
 
 
