@@ -102,8 +102,11 @@ def run(sf_dir: str, names: list[str]) -> dict:
         # throttled sample measures the hypervisor, not the plan.
         samples: list[float] = []
         # 3.0s retry bar: the heaviest queries steady-state at ~2.4s,
-        # so a lower bar made every healthy run burn all 5 samples
-        while len(samples) < 2 or (min(samples) > 3.0 and len(samples) < 5):
+        # so a lower bar made every healthy run burn all 5 samples.
+        # Overridable for scaled runs (sf1 queries legitimately exceed
+        # 3s; without the override every query burns all 5 samples)
+        bar = float(os.environ.get("SPARK_GRAFT_RETRY_BAR", "3.0"))
+        while len(samples) < 2 or (min(samples) > bar and len(samples) < 5):
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -136,6 +136,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 41. embedding near-dup — cosine >= 0.35 within label blocks,
 # double-precision index-order arithmetic on both engines.
+# SCALE NOTE: exact all-pairs inside a label block is quadratic in
+# the block, and blocks grow with the corpus — the sf1 run measured
+# 40x cost at 10x data. This stays as the exact correctness baseline;
+# the production path is #158 neardup_embedding_cells (coarse-
+# quantizer partitioning, SemDeDup shape), whose approximation is
+# itself oracle-checked.
 @query(
     "neardup_embedding",
     oracle="""
@@ -283,4 +289,132 @@ def incremental_dedup_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_new"))
         .join(batch_counts, "source")
         .select("source", "n_batch", "n_new")
+    )
+
+
+# 156. containment (near-subset) dedup — the asymmetric case Jaccard
+# misses: a short doc quoted wholesale inside a long one has tiny
+# Jaccard but ~100% containment, and curation drops the contained
+# copy. Inverted-index pair generation (Σ df² cost), integer-exact
+# percentage filter; the oracle replays the shingle intersection on
+# strings. The contained side is the smaller shingle set (ties to the
+# larger id), so orientation is deterministic.
+@query(
+    "dedup_containment",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+             range(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 3),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         LEN(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS inter,
+         LEN(a.shingles) AS sza, LEN(b.shingles) AS szb
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+hits AS (SELECT * FROM pairs WHERE inter * 100 >= 90 * LEAST(sza, szb))
+SELECT CASE WHEN sza < szb THEN src ELSE dst END AS contained_id,
+       CASE WHEN sza < szb THEN dst ELSE src END AS container_id,
+       inter,
+       (inter * 100) // LEAST(sza, szb) AS containment_pct
+FROM hits
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", block_col="lang", shingle_n=3, pct_threshold=90
+    )
+
+
+_NDC_COS = (
+    "ROUND(list_dot_product({a}.e, {b}.e)"
+    " / SQRT(list_dot_product({a}.e, {a}.e) * list_dot_product({b}.e, {b}.e)), 6)"
+)
+
+
+# 158. cell-partitioned embedding near-dup — the SemDeDup deployment
+# shape and the scale path for #41: an exact all-pairs cosine inside
+# label blocks is quadratic in the block (measured 40x at 10x corpus
+# on the sf1 run — the block grows with the corpus), so production
+# systems first partition space with a coarse quantizer and only
+# compare WITHIN (label, cell). With the deterministic IVF centroid
+# convention (vec_id < 16, rounded-cosine argmax, ties to the smaller
+# centroid) the cell map is oracle-exact, so the approximation this
+# buys — cross-cell pairs are missed BY DESIGN — is itself
+# value-checked: the oracle reproduces the same cells and the same
+# pair set. Pair cost drops from Σ_label n² to Σ_(label,cell) n²
+# (measured min-of-2 at sf1: 17.3s exact -> 4.4s celled, ~4x with 16
+# unbalanced cells + the assignment pass; the ratio grows with cell
+# count), and the assignment is one broadcast pass + one
+# (label, cell) shuffle.
+@query(
+    "neardup_embedding_cells",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS j, e FROM v WHERE vec_id < 16),
+assign AS (
+  SELECT vid AS vec_id, cell FROM (
+    SELECT v.vec_id AS vid, c.j AS cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_NDC_COS.format(a="v", b="c")} DESC,
+                                       c.j ASC) AS rk
+    FROM v CROSS JOIN cents c) t
+  WHERE rk = 1),
+av AS (SELECT v.vec_id, v.label, v.e, assign.cell
+       FROM v JOIN assign ON v.vec_id = assign.vec_id)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+       {_NDC_COS.format(a="a", b="b")} AS cos_sim
+FROM av a JOIN av b
+  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_NDC_COS.format(a="a", b="b")} >= 0.35
+""",
+)
+def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.vectorfn import dot, norm_sq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prep = emb.select("vec_id", "label", v.alias("_v"), norm_sq(v).alias("_n"))
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("j"), v.alias("_c"), norm_sq(v).alias("_cn")
+    )
+    ccos = F.round(
+        dot(F.col("_v"), F.col("_c")) / F.sqrt(F.col("_n") * F.col("_cn")), 6
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("_cc").desc(), F.col("j").asc()
+    )
+    # vectors + norms ride through the assignment window so no join
+    # back onto the corpus (same shape as operators/similarity.ivf_topk)
+    av = (
+        prep.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "_v", "_n", "j", ccos.alias("_cc"))
+        .withColumn("_rk", F.row_number().over(w_assign))
+        .filter(F.col("_rk") == 1)
+        .select("vec_id", "label", "_v", "_n", F.col("j").alias("cell"))
+    )
+    a, b = av.alias("a"), av.alias("b")
+    cos = F.round(
+        dot(F.col("a._v"), F.col("b._v")) / F.sqrt(F.col("a._n") * F.col("b._n")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell").alias("cell"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
     )

@@ -761,3 +761,70 @@ def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_copies", F.lit(0)).cast("bigint").alias("n_copies"),
         F.coalesce("tokens_out", F.lit(0)).cast("bigint").alias("tokens_out"),
     )
+
+
+# --------------------------------------------------------------------
+# 157. linear quality classifier — the fastText-style "model filter"
+# stage of a curation pipeline, expressed as pure codegen: integer-
+# scaled features (stopword rate, punctuation rate, capped length),
+# integer weights, integer score — model inference IS a projection, no
+# Python, no shuffle until the per-source audit aggregate. In
+# production the weight vector arrives as a literal/broadcast from the
+# trained model; scoring cost is O(row) at any corpus size, and the
+# identical integer math makes every score oracle-exact.
+@query(
+    "quality_linear_classifier",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tok,
+         LEN(text) AS n_chars,
+         LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+             t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop,
+         LEN(text) - LEN(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+           AS n_punct
+  FROM documents),
+s AS (
+  SELECT doc_id, source,
+         2 * ((n_stop * 1000) // GREATEST(n_tok, 1))
+         - 3 * ((n_punct * 1000) // GREATEST(n_chars, 1))
+         + 5 * LEAST(n_tok, 200) - 400 AS score
+  FROM f)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM s GROUP BY source
+""",
+)
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import (
+        punct_count,
+        stopword_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        stopword_count(F.col("text")).alias("n_stop"),
+        punct_count(F.col("text")).alias("n_punct"),
+    )
+    score = (
+        F.expr("2 * ((n_stop * 1000) div greatest(n_tok, 1))")
+        - F.expr("3 * ((n_punct * 1000) div greatest(n_chars, 1))")
+        + F.expr("5 * least(n_tok, 200)")
+        - F.lit(400)
+    )
+    return (
+        f.withColumn("score", score)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("long")).cast("bigint").alias("n_kept"),
+            F.sum("score").cast("bigint").alias("sum_score"),
+        )
+    )

@@ -28,6 +28,8 @@ EXPECTED = {
     # 16-row codebook / 5-row probe frames cross-joined by construction
     "ann_pq_topk": {"BroadcastNestedLoopJoin"},
     "ann_ivf_pq_topk": {"BroadcastNestedLoopJoin"},
+    # 16-row centroid frame cross-joined for the cell assignment
+    "neardup_embedding_cells": {"BroadcastNestedLoopJoin"},
     # real PNG encode/decode (stdlib zlib) runs in mapInPandas
     "multimodal_png_roundtrip": {"Python"},
     "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
