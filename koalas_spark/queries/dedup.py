@@ -18,6 +18,13 @@ from koalas_spark.functions.textfn import tokens, word_shingles
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 
+# rounded cosine on DuckDB DOUBLE[] columns named e — shared by the
+# cell-partitioned embedding oracles (#128, #158)
+_NDC_COS = (
+    "ROUND(list_dot_product({a}.e, {b}.e)"
+    " / SQRT(list_dot_product({a}.e, {a}.e) * list_dot_product({b}.e, {b}.e)), 6)"
+)
+
 
 # 37. exact dedup — md5(normalized) classes, keep min doc_id.
 @query(
@@ -180,23 +187,37 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 128. SemDeDup-style embedding cluster canonicalization — the cosine
-# near-dup pairs of #41 closed into transitive groups by the same
-# distributed connected-components pass as #111, one row per cluster
-# with the canonical (min) member. Pair detection alone over-deletes
-# when A~B~C but A!~C; clustering keeps exactly one representative per
-# semantic group. Oracle: recursive-CTE min-label propagation.
+# 128. SemDeDup-style embedding cluster canonicalization — cosine
+# near-dup pairs closed into transitive groups by the same distributed
+# connected-components pass as #111, one row per cluster with the
+# canonical (min) member. Pair detection alone over-deletes when
+# A~B~C but A!~C; clustering keeps exactly one representative per
+# semantic group. Since r4 the pair stage is the CELL-PARTITIONED
+# generator (#158) — exact all-pairs-in-label measured 17.9x cost at
+# 10x corpus (SCALING.md), while SemDeDup's own recipe clusters
+# within coarse-quantizer cells; the oracle reproduces the identical
+# cell map, so the within-cell semantics stay fully value-checked.
+# Oracle: recursive-CTE min-label propagation over the celled pairs.
 @query(
     "embedding_cluster_canonical",
-    oracle="""
-WITH pairs AS (
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS j, e FROM v WHERE vec_id < 16),
+assign AS (
+  SELECT vid AS vec_id, cell FROM (
+    SELECT v.vec_id AS vid, c.j AS cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_NDC_COS.format(a="v", b="c")} DESC,
+                                       c.j ASC) AS rk
+    FROM v CROSS JOIN cents c) t
+  WHERE rk = 1),
+av AS (SELECT v.vec_id, v.label, v.e, assign.cell
+       FROM v JOIN assign ON v.vec_id = assign.vec_id),
+pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS dst
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-              / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
-                     * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6)
-        >= 0.35),
+  FROM av a JOIN av b
+    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_NDC_COS.format(a="a", b="b")} >= 0.35),
 edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 lp AS (
@@ -214,7 +235,7 @@ FROM lp GROUP BY comp HAVING COUNT(*) >= 2
 def embedding_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.graph import connected_components
 
-    pairs = neardup_embedding(spark, sf_dir).select(
+    pairs = neardup_embedding_cells(spark, sf_dir).select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     comps = connected_components(pairs)
@@ -330,12 +351,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         d, "doc_id", "text", block_col="lang", shingle_n=3, pct_threshold=90
     )
-
-
-_NDC_COS = (
-    "ROUND(list_dot_product({a}.e, {b}.e)"
-    " / SQRT(list_dot_product({a}.e, {a}.e) * list_dot_product({b}.e, {b}.e)), 6)"
-)
 
 
 # 158. cell-partitioned embedding near-dup — the SemDeDup deployment
