@@ -77,3 +77,45 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "last_ts", "ema8")
     )
+
+
+# --------------------------------------------------------------------
+# 160. trailing-interval load: per event, how many events (and how
+# much value) the same user generated in the PRECEDING HOUR — the
+# value-range window flavor (RANGE BETWEEN interval) none of the other
+# window queries exercise: the frame is defined by the ORDER-BY value,
+# not row offsets, so burst detection is exact regardless of event
+# spacing. Ordering key is epoch MICROseconds (unix_micros /
+# epoch_us): a seconds-granularity cast would truncate and the two
+# engines would disagree on frame membership at boundaries. RANGE
+# treats equal keys as peers in both engines (ties share a frame), so
+# results are deterministic without an event_id tie-break. One
+# user_id shuffle; the decimal window sum keeps the value total
+# order-independent.
+@query(
+    "trailing_hour_user_load",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def trailing_hour_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing"),
+    )

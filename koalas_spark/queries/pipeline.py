@@ -828,3 +828,127 @@ def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score").cast("bigint").alias("sum_score"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 159. T5-style span-corruption mask generation — the pretraining
+# objective's data side: deterministic mask spans per document
+# (span length 3, start-coin rate 5% ~= 15% corruption target),
+# derived entirely from md5 coins on (doc_id, position) so every
+# re-run, engine, and partitioning produces the same masks. All
+# higher-order array functions — filter(sequence) for starts,
+# flatten/transform/array_distinct for coverage — pure codegen, zero
+# Python, zero shuffle before the per-source audit. Overlapping spans
+# merge via the distinct-position union (documented simplification vs
+# T5's sequential sentinel packing, which is inherently stateful).
+@query(
+    "span_corruption_masks",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tok
+  FROM documents),
+m AS (
+  SELECT doc_id, source, n_tok,
+         LEN(list_distinct(flatten(list_transform(
+             list_filter(range(0, GREATEST(n_tok - 2, 0)),
+                 p -> substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 4)
+                      < '0ccd'),
+             p -> [p, p + 1, p + 2])))) AS n_masked
+  FROM d)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_masked) AS BIGINT) AS sum_masked,
+       (SUM(n_masked) * 10000) // SUM(n_tok) AS masked_bp
+FROM m GROUP BY source
+""",
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    # coin('doc:pos') < 0x0ccd/0x10000 ~= 5% start rate
+    starts = F.filter(
+        F.when(
+            F.col("n_tok") >= 3, F.sequence(F.lit(0), F.col("n_tok") - 3)
+        ).otherwise(F.array().cast("array<bigint>")),
+        lambda p: F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), p.cast("string"))),
+            1,
+            4,
+        )
+        < "0ccd",
+    )
+    masked = F.array_distinct(
+        F.flatten(F.transform(starts, lambda p: F.array(p, p + 1, p + 2)))
+    )
+    m = d.withColumn("n_masked", F.size(masked).cast("long"))
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum("n_masked").cast("bigint").alias("sum_masked"),
+        F.expr("(sum(n_masked) * 10000) div sum(n_tok)").alias("masked_bp"),
+    )
+
+
+# --------------------------------------------------------------------
+# 162. small-file compaction — the lakehouse maintenance op every
+# 100 TB table needs: a fragmented write (64 tiny parquet files —
+# round-robin repartition guarantees all non-empty) is compacted by
+# rewriting through repartition(4), and the audit proves BOTH halves
+# of the contract: the file count collapses to the target AND the
+# data survives bit-for-bit (row count + exact decimal sum of a value
+# column, which is what the oracle checks against the source table).
+# Staging is keyed by (sf dir, source mtime) like the other .tmp
+# artifacts, so regenerated testdata restages instead of serving
+# stale files. At cluster scale the same rewrite is
+# repartitionByRange on the layout key + a maxRecordsPerFile cap.
+@query(
+    "compact_small_files",
+    oracle="""
+SELECT 'small' AS stage, CAST(64 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(n_chars AS DECIMAL(25,0))) AS BIGINT) AS sum_chars
+FROM documents
+UNION ALL
+SELECT 'compacted', CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(n_chars AS DECIMAL(25,0))) AS BIGINT)
+FROM documents
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.stat(src).st_mtime)}"
+    small = os.path.join("/root/repo/.tmp", f"compact_small_{tag}")
+    big = os.path.join("/root/repo/.tmp", f"compact_big_{tag}")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        d.repartition(64).write.mode("overwrite").parquet(small)
+    if not os.path.exists(os.path.join(big, "_SUCCESS")):
+        spark.read.parquet(small).repartition(4).write.mode("overwrite").parquet(big)
+
+    def stats(path: str, label: str):
+        n_files = len(glob.glob(os.path.join(path, "part-*.parquet")))
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("n_chars").cast("decimal(25,0)"))
+                .cast("bigint")
+                .alias("sum_chars"),
+            )
+            .select(
+                F.lit(label).alias("stage"),
+                F.lit(n_files).cast("bigint").alias("n_files"),
+                "n_rows",
+                "sum_chars",
+            )
+        )
+
+    return stats(small, "small").unionByName(stats(big, "compacted"))

@@ -353,3 +353,53 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("scrub_digest"),
     )
+
+
+# --------------------------------------------------------------------
+# 161. token concentration (Simpson index) — a repetition-quality
+# gate that catches what max-token-share (gopher_repetition_filter)
+# misses: a doc split evenly between TWO tokens has low max-share but
+# extreme concentration. Per doc: simpson_ppm = (Σ tf² * 1e6) div n²
+# (1e6/n for perfectly diverse text, -> 1e6 as one token dominates),
+# integer-exact end-to-end. ONE shuffle on (doc_id, token) with
+# map-side combine; the per-language rollup sums integers, so any
+# partitioning agrees.
+@query(
+    "token_simpson_index",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, lang, token, COUNT(*) AS c
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+        FROM documents) t
+  GROUP BY doc_id, lang, token),
+per_doc AS (
+  SELECT doc_id, lang,
+         (SUM(c * c) * 1000000) // (SUM(c) * SUM(c)) AS simpson_ppm
+  FROM tf GROUP BY doc_id, lang)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(simpson_ppm) AS BIGINT) AS sum_simpson_ppm,
+       CAST(MAX(simpson_ppm) AS BIGINT) AS max_simpson_ppm
+FROM per_doc GROUP BY lang
+""",
+)
+def token_simpson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id", "lang").agg(
+        F.expr("(sum(c * c) * 1000000) div (sum(c) * sum(c))").alias(
+            "simpson_ppm"
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("simpson_ppm").cast("bigint").alias("sum_simpson_ppm"),
+        F.max("simpson_ppm").cast("bigint").alias("max_simpson_ppm"),
+    )
