@@ -71,6 +71,14 @@ HEADLINE = [
     "scd2_intervals",
     "lang_temperature_resample",
     "multimodal_decode_resize",
+    # r4 additions: retrieval, graph, celled semantic dedup, the
+    # compressed codec path, codegen model inference, collocations
+    "bm25_topk",
+    "pagerank_nations",
+    "neardup_embedding_cells",
+    "multimodal_png_roundtrip",
+    "quality_linear_classifier",
+    "collocation_pmi_topk",
 ]
 
 

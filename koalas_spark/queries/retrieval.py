@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from koalas_spark.functions.textfn import token_count, tokens, word_shingles
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
+from koalas_spark.queries.text import _BPE_RE
+
+_BPE_ORACLE = _BPE_RE.replace("'", "''")
 
 # The benchmark query set: (query_id, term). 'dup' is the one rare
 # term in the corpus vocabulary (df ~26 vs ~900 for everything else),
@@ -186,4 +189,114 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 5)
         .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# 163. collocation extraction — top bigrams by the PMI rational core
+# c_xy * N / (c_x * c_y), integer-scaled x1e6 and kept UN-logged (the
+# log is monotone, so the ranking is identical and the score stays
+# BIGINT-exact across engines; same convention as tfidf/bm25).
+# Adjacent-pair counts come from ONE explode of token-index pairs;
+# unigram counts broadcast back onto the bigram aggregate. min-count
+# 50 keeps the rare-pair noise PMI is famous for out of the top-k.
+# Global top-20 lowers to TakeOrdered (no full sort).
+@query(
+    "collocation_pmi_topk",
+    oracle="""
+WITH toks AS (
+  SELECT string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM toks, unnest(range(1, GREATEST(LEN(t), 1))) AS u(i)) p
+  GROUP BY w1, w2),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY w),
+n AS (SELECT SUM(c) AS n FROM uni)
+SELECT w1, w2, c_xy,
+       (c_xy * n.n * 1000000) // (u1.c * u2.c) AS pmi_scaled
+FROM big JOIN uni u1 ON big.w1 = u1.w
+         JOIN uni u2 ON big.w2 = u2.w
+         CROSS JOIN n
+WHERE c_xy >= 25
+ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC LIMIT 20
+""",
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.filter(F.col("c_xy") >= 25)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr("(c_xy * n * 1000000) div (c1 * c2)").alias("pmi_scaled"),
+        )
+        .orderBy(F.col("pmi_scaled").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# 164. tokenizer fertility — the standard multilingual diagnostic:
+# sub-word tokens per whitespace word, per language (a tokenizer
+# "spends" more pieces on languages it under-represents; fertility
+# feeds the temperature-resampling weights, #131). Uses the BPE-ish
+# regex pre-tokenizer (#60) as the sub-word side; integer-ppm ratio,
+# zero shuffles before the 5-row language aggregate.
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+WITH d AS (
+  SELECT lang,
+         LEN(string_split_regex(TRIM(text), '\\s+')) AS n_ws,
+         LEN(regexp_extract_all(text, '{_BPE_ORACLE}')) AS n_bpe
+  FROM documents)
+SELECT lang,
+       CAST(SUM(n_ws) AS BIGINT) AS sum_words,
+       CAST(SUM(n_bpe) AS BIGINT) AS sum_pieces,
+       (SUM(n_bpe) * 1000000) // SUM(n_ws) AS fertility_ppm
+FROM d GROUP BY lang
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        token_count(F.col("text")).alias("n_ws"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_ws").cast("bigint").alias("sum_words"),
+        F.sum("n_bpe").cast("bigint").alias("sum_pieces"),
+        F.expr("(sum(n_bpe) * 1000000) div sum(n_ws)").alias("fertility_ppm"),
     )

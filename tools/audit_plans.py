@@ -48,6 +48,8 @@ EXPECTED = {
     "bm25_topk": {"BroadcastNestedLoopJoin"},
     # 1-row node-count frame cross-joined onto the 25-row nation frame
     "pagerank_nations": {"BroadcastNestedLoopJoin"},
+    # 1-row total-token frame cross-joined onto the bigram aggregate
+    "collocation_pmi_topk": {"BroadcastNestedLoopJoin"},
     # Arrow-vectorized Python stages (grouped-map / map-in-pandas)
     "grouped_demean_arrow": {"Python"},
     "multimodal_features": {"Python"},
