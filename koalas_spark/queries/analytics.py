@@ -97,7 +97,15 @@ def davg(c: Column | str) -> Column:
 
 
 def _dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+    # The VARCHAR hop is load-bearing: DuckDB's DECIMAL->DOUBLE cast
+    # is NOT correctly rounded once |sum| exceeds 2^53/10^6 ~ 9.0e9
+    # (the scaled int128 loses bits before the divide), while Spark's
+    # BigDecimal.doubleValue() is. Found by the sf1 scaling run: both
+    # engines agreed on the exact decimal sum 27864155010.941590, but
+    # DuckDB's direct double cast returned ...593 vs Spark's correctly
+    # rounded ...59. DECIMAL->VARCHAR is exact and VARCHAR->DOUBLE is
+    # strtod (correctly rounded), so this matches Spark at any scale.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def _davg_sql(expr: str) -> str:

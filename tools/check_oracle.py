@@ -38,10 +38,17 @@ def _norm(v):
 
 
 def compare(sf_dir: str, names: list[str] | None = None) -> int:
+    import os
+
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TPCH_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; Spark-written scaled dirs
+        # (tools/make_scaled.py) need the part-file glob
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries, oracles = all_queries(), all_oracles()
     names = names or sorted(queries)
