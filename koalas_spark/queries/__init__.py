@@ -7,8 +7,11 @@ DuckDB oracle side-by-side; column names and values must match exactly.
 
 Cross-engine determinism rules used throughout:
   - double aggregations go through exact decimal summation:
-    CAST(SUM(CAST(expr AS DECIMAL(25,6))) AS DOUBLE) — addition order
-    no longer matters, so Spark and DuckDB agree bit-for-bit;
+    CAST(CAST(SUM(CAST(expr AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+    — addition order no longer matters, so Spark and DuckDB agree
+    bit-for-bit; the VARCHAR hop exists because DuckDB's direct
+    DECIMAL->DOUBLE cast is not correctly rounded past 2^53/10^6
+    (found by the sf1 scaling run — see SCALING.md);
   - per-row double arithmetic (x*(1-d)) is IEEE-deterministic and
     portable as-is;
   - counts are cast to BIGINT on the Spark side (DuckDB len()/count()

@@ -123,7 +123,7 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_prospects",
     oracle="""
 SELECT SUBSTRING(c_name, 1, 10) AS cntrycode_proxy, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders

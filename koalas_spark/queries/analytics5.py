@@ -263,7 +263,7 @@ WITH val AS (
   WHERE n_name = 'NATION_5'
   GROUP BY l_partkey)
 SELECT l_partkey, value FROM val
-WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 0.001
+WHERE value > (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) * 0.001
                FROM val)
 """,
 )
@@ -393,7 +393,7 @@ SELECT CAST({_dsum_sql('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN (SELECT l_partkey AS a_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
                / COUNT(l_quantity) AS avg_qty
       FROM lineitem GROUP BY l_partkey) a
   ON a_partkey = l_partkey

@@ -203,12 +203,12 @@ WITH first_touch AS (
   WHERE rk = 1),
 rev AS (
   SELECT user_id,
-         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
   FROM events WHERE event_type = 'purchase' GROUP BY user_id)
 SELECT channel, COUNT(*) AS n_users,
        CAST(SUM(CASE WHEN COALESCE(r.revenue, 0) > 0 THEN 1 ELSE 0 END)
          AS BIGINT) AS n_purchasers,
-       CAST(SUM(CAST(COALESCE(r.revenue, 0) AS DECIMAL(25,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(COALESCE(r.revenue, 0) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
          AS attributed_revenue
 FROM first_touch f LEFT JOIN rev r ON f.user_id = r.user_id
 GROUP BY channel
@@ -250,7 +250,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
          AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """,
@@ -282,7 +282,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, CAST(FLOOR(value / 50) AS INT) AS bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY event_type, bucket
 """,
@@ -310,7 +310,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_upsert_compact",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
          AS latest_price_sum
 FROM (
   SELECT o_custkey, o_orderstatus, o_totalprice,
@@ -350,11 +350,11 @@ def cdc_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH o AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS order_rev
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS order_rev
   FROM orders GROUP BY day),
 e AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS event_rev
+         CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS event_rev
   FROM events WHERE event_type = 'purchase' GROUP BY day)
 SELECT COALESCE(o.day, e.day) AS day,
        COALESCE(order_rev, 0) AS order_rev,
@@ -433,7 +433,7 @@ WITH a AS (
   FROM orders GROUP BY 1),
 b AS (
   SELECT NULLIF(o_orderpriority, '1-URGENT') AS pclass,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
               / COUNT(*) AS DOUBLE) AS avg_price
   FROM orders GROUP BY 1)
 SELECT a.pclass, n_orders, avg_price
@@ -661,11 +661,11 @@ SELECT 'n_orders' AS key,
 FROM orders
 UNION ALL
 SELECT 'sum_price',
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE),
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '2-HIGH') AS DOUBLE),
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE),
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE),
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '5-LOW') AS DOUBLE)
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '1-URGENT') AS VARCHAR) AS DOUBLE),
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '2-HIGH') AS VARCHAR) AS DOUBLE),
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '3-MEDIUM') AS VARCHAR) AS DOUBLE),
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS VARCHAR) AS DOUBLE),
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) FILTER (o_orderpriority = '5-LOW') AS VARCHAR) AS DOUBLE)
 FROM orders
 """,
 )

@@ -97,7 +97,7 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        COUNT(*) OVER w AS n_trailing,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_trailing
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_trailing
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)

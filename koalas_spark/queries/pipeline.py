@@ -295,7 +295,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_norm_stats",
     oracle="""
 SELECT label, COUNT(*) AS n,
-       CAST(CAST(SUM(CAST(nrm AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+       CAST(CAST(CAST(SUM(CAST(nrm AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
          AS DOUBLE) AS avg_norm,
        MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
 FROM (

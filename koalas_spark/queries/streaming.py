@@ -33,7 +33,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type, COALESCE(band, 'none') AS band,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events e LEFT JOIN (
   SELECT o_custkey AS user_id,
          CASE WHEN SUM(CAST(o_totalprice AS DECIMAL(25,6))) > 1000000
@@ -58,7 +58,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_agg",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM (SELECT DISTINCT ON (event_id) event_type, value FROM events ORDER BY event_id) t
 GROUP BY event_type
 """,
@@ -158,7 +158,7 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     "stream_foreachbatch_sink",
     oracle="""
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """,
 )
