@@ -828,3 +828,41 @@ def png_roundtrip(df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 1
     return df.select(id_col, "raster").mapInPandas(
         op, schema=f"{id_col} bigint, png_bytes bigint, pixels binary"
     )
+
+
+def audio_resample(df: DataFrame, id_col: str = "doc_id", factor: int = 2) -> DataFrame:
+    """REAL audio DSP step: decode PCM16 WAV → decimate by ``factor``
+    (drop-sample resampling; a production pipeline would low-pass
+    first, which needs no new plumbing — the seam is this one numpy
+    line) → re-encode a valid WAV at the reduced rate. Arrow-batched
+    mapInPandas, shuffle-free; undecodable blobs yield null output
+    (the malformed-media path)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nin, nout, blobs = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    samples, rate = decode_wav(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    nin.append(None)
+                    nout.append(None)
+                    blobs.append(None)
+                    continue
+                res = samples[::factor]
+                nin.append(len(samples))
+                nout.append(len(res))
+                blobs.append(encode_wav(res, rate // factor))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_in": pd.array(nin, dtype="Int64"),
+                    "n_out": pd.array(nout, dtype="Int64"),
+                    "wav": blobs,
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(
+        op, schema=f"{id_col} bigint, n_in bigint, n_out bigint, wav binary"
+    )

@@ -119,3 +119,61 @@ def trailing_hour_user_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_trailing"),
     )
+
+
+# --------------------------------------------------------------------
+# 166. robust outlier detection via MAD (median absolute deviation):
+# per event type, med = exact interpolated median of value, mad =
+# median of |value - med|, outlier = |value - med| > 3*mad. MAD is
+# the standard robust alternative to z-scores (one corrupted sensor
+# can't drag the threshold the way it drags a stddev). Plan shape:
+# two 5-row aggregates each broadcast back onto the scan — the events
+# table streams twice but never shuffles by value, and every per-row
+# comparison is pure codegen. Exact interpolated percentiles agree
+# bit-for-bit across engines (Spark percentile == DuckDB
+# quantile_cont, both on IEEE doubles), so counts are deterministic.
+@query(
+    "mad_outlier_counts",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, med.med, ABS(e.value - med.med) AS ad
+  FROM events e JOIN med ON e.event_type = med.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+       COUNT(*) AS n,
+       ROUND(MAX(dev.med), 6) AS med,
+       ROUND(MAX(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+""",
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

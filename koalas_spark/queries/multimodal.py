@@ -317,3 +317,45 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("png_bytes") > 0).alias("png_ok"),
         F.sha2("pixels", 256).alias("pixel_sha"),
     )
+
+
+# 165. REAL audio resample: the 400-byte PCM16 WAV (same constant
+# header as #139) is decoded, decimated x2 (drop-sample), and
+# re-encoded as a valid 8 kHz WAV whose FULL file bytes are sha'd
+# (as uppercase hex: DuckDB 1.0's sha256 only binds VARCHAR).
+# The oracle rebuilds the expected file byte-for-byte: the resampled
+# pcm is every even sample = text chars (4k+1, 4k+2), prepended with
+# the constant 44-byte 8 kHz header — so the check covers the decode,
+# the decimation arithmetic, AND every re-encoded header field.
+@query(
+    "multimodal_audio_resample",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 400) AS d
+  FROM documents WHERE octet_length(encode(text)) >= 400)
+SELECT doc_id, CAST(200 AS BIGINT) AS n_in, CAST(100 AS BIGINT) AS n_out,
+       sha256('52494646EC00000057415645666D7420100000000100'
+              || '0100401F0000803E00000200100064617461C8000000'
+              || hex(encode(array_to_string(list_transform(range(0, 100),
+                     k -> substring(d, k*4 + 1, 2)), '')))) AS wav_sha
+FROM src
+""",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import audio_resample
+
+    HDR = (
+        "52494646b401000057415645666d7420100000000100"
+        "0100803e0000007d0000020010006461746190010000"
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 400)
+    wav = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(HDR)), F.substring(F.encode(F.col("text"), "UTF-8"), 1, 400)
+        ).alias("blob"),
+    )
+    out = audio_resample(wav, "doc_id", factor=2)
+    return out.select(
+        "doc_id", "n_in", "n_out", F.sha2(F.hex("wav"), 256).alias("wav_sha")
+    )

@@ -32,6 +32,8 @@ EXPECTED = {
     "neardup_embedding_cells": {"BroadcastNestedLoopJoin"},
     # real PNG encode/decode (stdlib zlib) runs in mapInPandas
     "multimodal_png_roundtrip": {"Python"},
+    # real WAV decode -> decimate -> re-encode runs in mapInPandas
+    "multimodal_audio_resample": {"Python"},
     "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
     "range_join_price_bands": {"BroadcastNestedLoopJoin"},
     "q19_discount_revenue": {"BroadcastNestedLoopJoin"},
