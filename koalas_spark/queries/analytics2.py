@@ -218,13 +218,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lives in grouped_demean_arrow below, over a key whose cardinality
 # grows with the data so group size stays bounded.) Oracle via window
 # avg/stddev; values rounded to absorb float-path differences between
-# the two engines' stddev accumulations.
+# the two engines' stddev accumulations, then +0.0 to collapse signed
+# zero: DuckDB's ROUND keeps IEEE -0.0 while Spark's decimal-backed
+# round yields +0.0 (repr-visible divergence the sf1 sweep caught).
 @query(
     "grouped_zscore",
     oracle="""
 SELECT o_orderkey, o_orderpriority,
        ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority))
-             / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderpriority), 4) AS zscore
+             / STDDEV_SAMP(o_totalprice) OVER (PARTITION BY o_orderpriority), 4)
+         + 0.0 AS zscore
 FROM orders
 """,
 )
@@ -239,9 +242,12 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderpriority",
-            F.round((F.col("o_totalprice") - F.col("_mu")) / F.col("_sd"), 4).alias(
-                "zscore"
-            ),
+            (
+                F.round(
+                    (F.col("o_totalprice") - F.col("_mu")) / F.col("_sd"), 4
+                )
+                + 0.0
+            ).alias("zscore"),
         )
     )
 
@@ -259,30 +265,51 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_demean_arrow",
     oracle="""
 SELECT o_orderkey, o_orderpriority, o_orderdate,
-       ROUND(o_totalprice - AVG(o_totalprice)
-             OVER (PARTITION BY o_orderpriority, o_orderdate), 4) AS demeaned
-FROM orders
+       CAST(SIGN(num) AS BIGINT) * ((2 * ABS(num) + n) // (2 * n)) AS demeaned_e4
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         (c * n - s) * 100 AS num, n
+  FROM (
+    SELECT o_orderkey, o_orderpriority, o_orderdate,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+           COUNT(*) OVER w AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS s
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority, o_orderdate)) a) b
 """,
 )
 def grouped_demean_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
     import pandas as pd
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
     )
 
+    # Exact integer demean: prices become cents (exact — each double
+    # is within 1e-9 of its 2-decimal value, so rint never ties), and
+    # demeaned_e4 = half-away-rounded (c - mean) in 1e-4 dollars is
+    # computed entirely in int64: (c*n - s)*100 over n with the
+    # (2|num|+n) div (2n) rounding identity. A float mean here
+    # (pandas .mean() = pairwise summation) diverged from the oracle's
+    # sequential AVG in the last ulp at sf1 group sizes and flipped
+    # rounded boundaries — integers cannot.
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(pdf["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        n = len(c)
+        num = (c * n - c.sum()) * 100
+        e4 = np.sign(num) * ((2 * np.abs(num) + n) // (2 * n))
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_orderpriority": pdf["o_orderpriority"],
                 "o_orderdate": pdf["o_orderdate"],
-                "demeaned": (pdf["o_totalprice"] - pdf["o_totalprice"].mean()).round(4),
+                "demeaned_e4": e4,
             }
         )
 
     return o.groupBy("o_orderpriority", "o_orderdate").applyInPandas(
         demean,
         schema="o_orderkey bigint, o_orderpriority string, "
-        "o_orderdate timestamp_ntz, demeaned double",
+        "o_orderdate timestamp_ntz, demeaned_e4 bigint",
     )

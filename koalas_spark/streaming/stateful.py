@@ -82,16 +82,11 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     """Drive the bounded events file through the stateful sessionizer;
     returns closed sessions (open ones remain in state — same
     semantics a production stream would have)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    stage = f"/root/repo/.tmp/sess_{abs(hash(events_path)) % 10**8}"
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
-    from koalas_spark.sources.io import normalize_event_time
+    # shared staging: stable key + flat part-file symlinks (directory
+    # sources — e.g. scaled tables — stream 0 rows otherwise)
+    from koalas_spark.streaming.windows import _staged_events_stream
 
-    src = normalize_event_time(spark.readStream.schema(schema).parquet(stage))
+    src = _staged_events_stream(spark, events_path, "sess")
     sessions = (
         src.select("user_id", "ts")
         .withWatermark("ts", f"{GAP_SECONDS} seconds")

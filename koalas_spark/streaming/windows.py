@@ -24,15 +24,32 @@ def _staged_events_stream(
     behind a symlink dir. Normalizes nanos/NTZ ts flavors to
     TIMESTAMP_LTZ (withWatermark rejects TIMESTAMP_NTZ) via the shared
     read-path cast, so oracles agree."""
+    import glob
+    import hashlib
+
     from koalas_spark.sources.io import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    stage = f"/root/repo/.tmp/stream_{prefix}_{abs(hash(events_path)) % 10**8}"
+    # stable stage key: md5 of path + source mtime (hash() is salted
+    # per process, which restaged on every run; mtime restages when
+    # the driver regenerates testdata in place)
+    tag = hashlib.md5(events_path.encode()).hexdigest()[:8]
+    tag += f"_{int(os.stat(events_path).st_mtime)}"
+    stage = f"/root/repo/.tmp/stream_{prefix}_{tag}"
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, os.path.basename(events_path))
-    if not os.path.exists(link):
-        os.symlink(events_path, link)
+    # the file source lists plain files in the monitored dir — it does
+    # NOT recurse into a symlinked Spark output DIRECTORY (sf1 scaled
+    # tables are directories of part files; this silently streamed 0
+    # rows before the sf1 sweep caught it) — so link part files flat
+    if os.path.isdir(events_path):
+        parts = sorted(glob.glob(os.path.join(events_path, "*.parquet")))
+    else:
+        parts = [events_path]
+    for i, p in enumerate(parts):
+        link = os.path.join(stage, f"part_{i:05d}.parquet")
+        if not os.path.exists(link):
+            os.symlink(p, link)
     src = spark.readStream.schema(schema).parquet(stage)
     return normalize_event_time(src)
 

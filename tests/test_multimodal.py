@@ -502,3 +502,24 @@ def test_png_roundtrip_query_null_path(spark):
     got = {r.doc_id: r for r in png_roundtrip(df, "doc_id").collect()}
     assert got[2].png_bytes is None and got[2].pixels is None
     assert got[1].png_bytes > 0 and bytes(got[1].pixels) == bytes(range(256))
+
+
+def test_audio_resample_roundtrip_and_malformed(spark):
+    from koalas_spark.operators.multimodal import (
+        audio_resample,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(13)
+    samples = rng.integers(-32768, 32767, size=200, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, 16000))), (2, bytearray(b"nope"))],
+        "doc_id long, blob binary",
+    )
+    got = {r.doc_id: r for r in audio_resample(df, "doc_id", factor=2).collect()}
+    assert got[2].n_in is None and got[2].wav is None
+    out, rate = decode_wav(bytes(got[1].wav))
+    assert rate == 8000
+    assert np.array_equal(out, samples[::2])
+    assert (got[1].n_in, got[1].n_out) == (200, 100)
