@@ -188,7 +188,7 @@ def running_total_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mom_pct_change",
     oracle=f"""
 SELECT month, rev,
-       ROUND((rev - prev_rev) / prev_rev * 100, 4) AS pct_change
+       ROUND((rev - prev_rev) / prev_rev * 100, 4) + 0.0 AS pct_change
 FROM (
   SELECT month, rev, LAG(rev) OVER (ORDER BY month) AS prev_rev
   FROM (
@@ -207,7 +207,8 @@ def mom_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         F.col("month").cast("date").alias("month"),
         "rev",
-        F.round((F.col("rev") - prev) / prev * 100, 4).alias("pct_change"),
+        # +0.0 collapses IEEE signed zero (house rule, SCALING.md)
+        (F.round((F.col("rev") - prev) / prev * 100, 4) + 0.0).alias("pct_change"),
     )
 
 
@@ -274,8 +275,8 @@ def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_corr",
     oracle="""
 SELECT l_returnflag,
-       ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
-       ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+       ROUND(corr(l_extendedprice, l_quantity), 6) + 0.0 AS corr_pq,
+       ROUND(covar_samp(l_extendedprice, l_quantity), 2) + 0.0 AS covar_pq,
        ROUND(stddev_samp(l_extendedprice), 2) AS sd_price
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -283,7 +284,8 @@ FROM lineitem GROUP BY l_returnflag
 def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+        # +0.0 collapses IEEE signed zero (house rule, SCALING.md)
+        (F.round(F.corr("l_extendedprice", "l_quantity"), 6) + 0.0).alias("corr_pq"),
+        (F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2) + 0.0).alias("covar_pq"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
     )
