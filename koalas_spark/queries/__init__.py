@@ -73,6 +73,7 @@ def _load() -> None:
         corpus,
         graphq,
         layout,
+        mining,
         parity,
         pipeline,
         retrieval,

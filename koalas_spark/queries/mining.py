@@ -1,0 +1,434 @@
+"""Corpus/graph mining operators (SURVEY.md §2 extensions): exact
+duplicate-span detection (the substring-dedup signal of Lee et al. /
+RefinedWeb), character-entropy quality gates, RAG chunking, market-
+basket pair mining, degree-oriented triangle counting, robust
+median/IQR scaling, and a scale-safe token frequency spectrum.
+
+Reference parity note: these extend the reference's groupby/apply
+surface (reference source/koalas/groupby.d:48-90, dataframe.d:238-262)
+to the corpus-mining workloads the brief mandates; none exist in the
+reference itself.
+
+Cross-engine determinism: counts and ppm ratios are exact integers
+(x*1000000 div n), frequency buckets use binary-string length (exact
+integer log2 — no libm), and the two entropy/robust-scale queries
+round to 4 decimals to absorb last-ulp libm differences (repo-wide
+convention, see SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from koalas_spark.queries import query
+from koalas_spark.queries.analytics import _t
+from koalas_spark.functions.textfn import tokens
+
+
+# --------------------------------------------------------------------
+# 167. duplicate-span detection — the exact-substring dedup signal:
+# for every document, how many of its distinct 8-token spans also
+# appear in ANOTHER document (df >= 2 over per-doc-distinct spans).
+# Plan shape at 100 TB: one explode to (doc, span) with per-doc
+# distinct done ARRAY-SIDE (array_distinct before the explode — no
+# (doc,span) shuffle just to dedup), one groupBy(span) whose
+# aggregation state is a single counter (map-side combine collapses
+# each partition's span multiset first), and one shuffle join back on
+# span. No collect_set, no quadratic doc-pair stage: cost is linear
+# in corpus tokens + Σ_span df, the same budget as the inverted
+# index. A span shared by millions of docs is just a big COUNT — the
+# 2 GB array limit never enters.
+@query(
+    "duplicate_span_detect",
+    oracle="""
+WITH sp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, LEN(toks) - 6),
+             i -> array_to_string(toks[i:i+7], ' ')))) AS span
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 8),
+df AS (SELECT span, COUNT(*) AS df FROM sp GROUP BY span),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+dup AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup
+  FROM sp s JOIN df ON s.span = df.span
+  WHERE df.df >= 2
+  GROUP BY s.doc_id)
+SELECT tot.doc_id,
+       CAST(tot.n_spans AS BIGINT)           AS n_spans,
+       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup,
+       CAST(COALESCE(dup.n_dup, 0) * 1000000 // tot.n_spans AS BIGINT)
+         AS dup_ppm
+FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+""",
+)
+def duplicate_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sp = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 7),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 8)),
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    sp = sp.localCheckpoint(eager=False)  # span frame feeds 3 consumers
+    df = sp.groupBy("span").agg(F.count(F.lit(1)).alias("df"))
+    tot = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup = (
+        sp.join(df.filter(F.col("df") >= 2).select("span"), "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+        F.expr("coalesce(n_dup, 0) * 1000000 div n_spans")
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+
+
+# --------------------------------------------------------------------
+# 168. character-entropy quality gate: Shannon entropy (nats) of the
+# per-document character distribution — low entropy flags repetitive
+# boilerplate / keyboard-mash that token-level gates miss. Identity
+# H = ln(n) - (Σ c·ln c)/n needs only per-(doc,char) counts: the
+# explode is linear in corpus bytes and map-side combine collapses to
+# ~alphabet-size rows per doc before the one shuffle; the per-doc
+# aggregation buffer is two doubles. ROUND(,4) absorbs libm ln()
+# last-ulp + summation-order differences between engines (SURVEY §4).
+@query(
+    "char_entropy_quality",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT)   AS n_ch,
+       CAST(COUNT(*) AS BIGINT)   AS n_distinct,
+       ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 4) AS entropy
+FROM cc GROUP BY doc_id
+""",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_ch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.ln(F.sum("cnt")) - F.sum(F.col("cnt") * F.ln("cnt")) / F.sum("cnt"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------
+# 169. RAG chunking: split every document into overlapping 32-token
+# windows (stride 24), emitting a stable chunk id, the window's token
+# count, and an md5 content key for downstream embedding/dedup. Pure
+# per-row expression work — sequence + explode + slice, zero shuffles
+# and zero Python; the fan-out is len/stride per doc (bounded by doc
+# length), so the op is a flat map at any corpus size. chunk_idx
+# derives arithmetically from the window start ((start-1) div 24) —
+# no ordinality bookkeeping to drift between engines.
+@query(
+    "rag_chunk_windows",
+    oracle="""
+SELECT doc_id,
+       CAST((start - 1) // 24 AS BIGINT)                 AS chunk_idx,
+       CAST(LEAST(32, LEN(toks) - start + 1) AS BIGINT)  AS n_tok,
+       md5(array_to_string(toks[start:start+31], ' '))   AS chunk_hash
+FROM (
+  SELECT doc_id, toks,
+         unnest(range(1, GREATEST(LEN(toks) - 31, 1) + 1, 24)) AS start
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t)
+""",
+)
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - 31, F.lit(1)),
+                    F.lit(24),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr("(start - 1) div 24").cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(32), F.size("toks") - F.col("start") + 1)
+            .cast("bigint")
+            .alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), 32)))
+            .alias("chunk_hash"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 170. market-basket pair mining: top-20 part pairs by co-occurrence
+# support across orders. The pair generation is a SELF-JOIN
+# CO-PARTITIONED ON l_orderkey (both sides shuffle once on the same
+# key, then the join is local), and TPC-H order width is bounded
+# (~7 items), so the fan-out is O(width²) = O(49) per order — linear
+# in orders at any scale, never a cross join. Support counting is one
+# map-side-combined shuffle on the pair; the global top-20 is a
+# TakeOrderedAndProject (each partition ships 20 rows, no global
+# sort). Ties broken by (part1, part2) so the cut is deterministic.
+@query(
+    "copurchase_pairs",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY support DESC, part1, part2
+LIMIT 20
+""",
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"),
+            F.col("b.l_partkey").alias("part2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "part1", "part2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# 171. triangle counting over the co-purchase graph — the classic
+# distributed graph primitive (clustering coefficient / community
+# density). Scale design: edges are DEGREE-ORIENTED (low (deg, id) →
+# high) before the wedge join, the standard trick that bounds every
+# vertex's out-degree by O(√m) even when the raw graph has hubs with
+# million-edge stars — the wedge fan-out is Σ outdeg² = O(m^1.5)
+# worst-case instead of Σ deg² (unbounded under skew). The closing-
+# edge check is a plain equi-join on (src, dst). Orientation changes
+# nothing about the count (each triangle is counted exactly once
+# from its (deg,id)-minimal vertex), so the oracle can use the simple
+# id-ordered 3-way join.
+@query(
+    "triangle_count_parts",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e e1
+             JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
+             JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t) AS BIGINT)
+         AS n_triangles
+""",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # edge set feeds degree + 3 join legs
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint to the larger
+    o = (
+        e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("dg", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("dv").alias("ddst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("du").alias("ddst"),
+                )
+            )
+            .alias("s")
+        )
+        .select("s.src", "s.dst", "s.ddst")
+        .localCheckpoint(eager=False)
+    )
+    x = o.alias("x")
+    y = o.alias("y")
+    z = o.select("src", "dst").alias("z")
+    wedges = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src"))
+        & (
+            (F.col("x.ddst") < F.col("y.ddst"))
+            | (
+                (F.col("x.ddst") == F.col("y.ddst"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        ),
+    )
+    tri = wedges.join(
+        z,
+        (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
+
+
+# --------------------------------------------------------------------
+# 172. robust per-language scaling: (n_chars − median) / IQR — the
+# outlier-proof cousin of the z-score (median/quartiles don't move
+# when a crawler bug injects 2 GB documents). The per-language
+# thresholds are a tiny exact-percentile aggregate that BROADCASTS
+# back onto the scan: one 5-row shuffle + one broadcast join + pure
+# codegen arithmetic, no Python, no window over the full table.
+# percentile() (Spark) == quantile_cont (DuckDB): both exact linear
+# interpolation on integers. ROUND(,4)+0.0 per repo convention
+# (collapses IEEE −0.0, see grouped_zscore).
+@query(
+    "robust_scale_by_lang",
+    oracle="""
+WITH th AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.5)  AS med,
+         quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       ROUND((d.n_chars - th.med) / th.iqr, 4) + 0.0 AS robust_z
+FROM documents d JOIN th ON d.lang = th.lang
+""",
+)
+def robust_scale_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    th = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("med"),
+        (
+            F.percentile("n_chars", F.lit(0.75))
+            - F.percentile("n_chars", F.lit(0.25))
+        ).alias("iqr"),
+    )
+    return d.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            F.round((F.col("n_chars") - F.col("med")) / F.col("iqr"), 4) + 0.0
+        ).alias("robust_z"),
+    )
+
+
+# --------------------------------------------------------------------
+# 173. token frequency spectrum — the scale-safe form of "how big a
+# vocab covers X% of token mass". A global freq-sorted cumulative sum
+# is a single-partition window (the classic driver-melter); instead
+# tokens bucket by ⌊log2 freq⌋ — computed EXACTLY as the length of
+# the binary string (conv/printf('%b')), no libm — giving ≤64 bucket
+# rows whose top-down cumulative coverage is a window over a tiny
+# frame. Coverage is integer ppm (exact). Answers the same capacity-
+# planning question (mass above any frequency threshold) with two
+# linear aggregations and zero global sorts.
+@query(
+    "token_freq_spectrum",
+    oracle="""
+WITH tf AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+        FROM documents) t
+  GROUP BY token),
+b AS (
+  SELECT CAST(LENGTH(printf('%b', freq)) - 1 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(freq) AS BIGINT) AS mass
+  FROM tf GROUP BY 1)
+SELECT bucket, n_types, mass,
+       CAST(SUM(mass) OVER (ORDER BY bucket DESC) * 1000000
+            // (SELECT SUM(mass) FROM b) AS BIGINT) AS cum_ppm
+FROM b
+""",
+)
+def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    b = tf.groupBy(
+        (F.length(F.conv(F.col("freq"), 10, 2)) - 1)
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("freq").cast("bigint").alias("mass"),
+    )
+    total = b.agg(F.sum("mass").alias("tot"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.crossJoin(F.broadcast(total))  # ≤64 rows × 1 row
+        .withColumn(
+            "cum_ppm",
+            F.expr("sum(mass) over (order by bucket desc) * 1000000 div tot")
+            .cast("bigint"),
+        )
+        .select("bucket", "n_types", "mass", "cum_ppm")
+    )

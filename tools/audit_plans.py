@@ -50,6 +50,8 @@ EXPECTED = {
     "bm25_topk": {"BroadcastNestedLoopJoin"},
     # 1-row node-count frame cross-joined onto the 25-row nation frame
     "pagerank_nations": {"BroadcastNestedLoopJoin"},
+    # two 1-row frames (edge count × triangle count) cross-joined
+    "triangle_count_parts": {"BroadcastNestedLoopJoin"},
     # 1-row total-token frame cross-joined onto the bigram aggregate
     "collocation_pmi_topk": {"BroadcastNestedLoopJoin"},
     # Arrow-vectorized Python stages (grouped-map / map-in-pandas)
@@ -72,6 +74,9 @@ EXPECTED = {
     # |corpus|/2^20 superblock rows (~1e5 at 1e11 docs)
     "mom_pct_change": {"GlobalWindow"},
     "doc_pack_shards": {"GlobalWindow"},
+    # cumulative coverage over the ≤64-row log2-frequency bucket frame,
+    # plus the 1-row total-mass frame cross-joined onto it
+    "token_freq_spectrum": {"GlobalWindow", "BroadcastNestedLoopJoin"},
 }
 
 # streaming queries execute at construction; their returned frame is a
