@@ -260,6 +260,62 @@ def decode_resize_reencode(
     )
 
 
+def ahash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the standard
+    near-duplicate-image key (pHash family): decode the REAL container
+    bytes (netpbm/BMP via decode_image), mean-pool the raster to 8x8
+    blocks, threshold each block against the global mean, read the 64
+    bits row-major. All arithmetic is INTEGER (block sums compared as
+    bs*64 >= total) so the hash is bit-reproducible in any engine —
+    no float mean to drift. Runs in Arrow-batched mapInPandas where
+    the rows already sit (no shuffle); undecodable blobs yield a null
+    hash instead of failing the task. Grayscale conversion for RGB
+    inputs uses the exact integer channel sum (r+g+b), keeping
+    integer-exactness."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    img, _ = decode_image(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    hashes.append(None)
+                    continue
+                if img.ndim == 3:  # integer grayscale: exact channel sum
+                    img = img.astype(np.int64).sum(axis=2)
+                h, w = img.shape
+                if h < 8 or w < 8:
+                    hashes.append(None)
+                    continue
+                # integer mean-pool to 8x8: gather equal block edges
+                ye = (np.arange(9) * h) // 8
+                xe = (np.arange(9) * w) // 8
+                acc = np.add.accumulate(
+                    np.add.accumulate(img.astype(np.int64), 0), 1
+                )
+                padded = np.zeros((h + 1, w + 1), dtype=np.int64)
+                padded[1:, 1:] = acc
+                bs = (
+                    padded[ye[1:, None], xe[None, 1:]]
+                    - padded[ye[:-1, None], xe[None, 1:]]
+                    - padded[ye[1:, None], xe[None, :-1]]
+                    + padded[ye[:-1, None], xe[None, :-1]]
+                )
+                # block areas differ when h,w % 8 != 0: compare means as
+                # cross-multiplied integers sum_b * A_tot >= total * A_b
+                areas = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
+                total = int(bs.sum())
+                bits = (bs * int(areas.sum()) >= total * areas).ravel()
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.select(id_col, "blob").mapInPandas(
+        op, schema="doc_id bigint, ahash string"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -177,3 +177,87 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 175. per-customer record-breaking orders — the running-frontier /
+# "new personal best" shape (sessionized price records). The window
+# partitions on o_custkey, a key whose cardinality GROWS with the
+# data, so partitions stay bounded at any scale (contrast a
+# per-segment window: 5 partitions of 1/5 the table each). No
+# arithmetic on the price — only comparisons — so doubles compare
+# bit-exactly in both engines. First order per customer is a record
+# by definition (NULL preceding max).
+@query(
+    "record_breaking_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         MAX(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM orders) t
+WHERE prev IS NULL OR o_totalprice > prev
+""",
+)
+def record_breaking_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        o.withColumn("prev", F.max("o_totalprice").over(w))
+        .filter(F.col("prev").isNull() | (F.col("o_totalprice") > F.col("prev")))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------
+# 176. snapshot time travel — commit orders in two versions (v1 =
+# pre-1995 history, v2 = append the rest) into the manifest-based
+# snapshot layout (sources/snapshots.py), then read BOTH versions
+# back as-of and prove each snapshot is exactly the table it froze:
+# version-pinned reads are how a training run reproduces last week's
+# corpus after the table kept growing. Commit = one JSON PUT naming
+# immutable data dirs (no copies); as-of read = manifest-driven
+# parquet union with pushdown intact. Oracle: the same two frozen
+# populations straight from the source table.
+@query(
+    "snapshot_time_travel",
+    oracle="""
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from koalas_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.stat(src).st_mtime)}"
+    path = os.path.join("/root/repo/.tmp", f"snap_orders_{tag}")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    if not os.path.exists(os.path.join(path, "_v2.json")):
+        cut = F.lit("1995-01-01").cast("timestamp")
+        write_snapshot(o.filter(F.col("o_orderdate") < cut), path)
+        write_snapshot(o.filter(F.col("o_orderdate") >= cut), path)
+
+    def as_of(v: int) -> DataFrame:
+        return read_snapshot(spark, path, version=v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+
+    return as_of(1).unionByName(as_of(2))

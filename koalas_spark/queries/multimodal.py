@@ -359,3 +359,60 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_in", "n_out", F.sha2(F.hex("wav"), 256).alias("wav_sha")
     )
+
+
+# --------------------------------------------------------------------
+# 174. perceptual image dedup: average-hash (aHash) over REAL decoded
+# rasters → duplicate-image groups. Each qualifying doc's first 256
+# bytes become a 16x16 P5 PGM (same synthesis as #121), the numpy
+# decoder parses the actual container bytes, and the hash is pure
+# INTEGER arithmetic (2x2 block sums, cross-multiplied mean compare),
+# so the oracle reproduces every bit from the ASCII codes alone. The
+# group-by on the 64-bit key is one map-side-combined shuffle; at
+# crawl scale this is exactly the image-dedup join key pipeline
+# (hash → group → keep canonical), with no pairwise image compare.
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 256) AS r
+  FROM documents WHERE octet_length(encode(text)) >= 256),
+bs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), k ->
+             ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 1, 1))
+           + ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 2, 1))
+           + ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 17, 1))
+           + ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 18, 1))) AS b
+  FROM src),
+h AS (
+  SELECT doc_id,
+         array_to_string(list_transform(b, x ->
+             CASE WHEN x * 64 >= list_sum(b) THEN '1' ELSE '0' END), '')
+           AS ahash
+  FROM bs)
+SELECT ahash,
+       CAST(COUNT(*) AS BIGINT)  AS n_imgs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+FROM h GROUP BY ahash
+""",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import ahash_images
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5 16 16 255\n"), "UTF-8"),
+            F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256),
+        ).alias("blob"),
+    )
+    return (
+        ahash_images(pgm, "doc_id")
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+    )

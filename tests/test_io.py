@@ -116,3 +116,27 @@ def test_ntz_parquet_event_time_normalized(spark):
     # watermark analysis accepts the normalized column (batch plan check)
     df.withWatermark("ts", "1 hour").groupBy(F.window("ts", "1 hour")).count().schema
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_snapshot_time_travel_isolation(spark):
+    """Version-pinned reads must not see later appends; latest sees all."""
+    import shutil as _sh
+
+    from koalas_spark.sources.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = f"{TMP}/snap_tbl"
+    _sh.rmtree(path, ignore_errors=True)
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    assert write_snapshot(df1, path) == 1
+    assert write_snapshot(df2, path) == 2
+    assert latest_version(path) == 2
+    assert read_snapshot(spark, path, version=1).count() == 10
+    assert read_snapshot(spark, path).count() == 15  # latest
+    # v1's content is exactly the frozen population
+    got = sorted(r.k for r in read_snapshot(spark, path, version=1).collect())
+    assert got == list(range(10))

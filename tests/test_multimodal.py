@@ -523,3 +523,32 @@ def test_audio_resample_roundtrip_and_malformed(spark):
     assert rate == 8000
     assert np.array_equal(out, samples[::2])
     assert (got[1].n_in, got[1].n_out) == (200, 100)
+
+
+def test_ahash_known_pattern_and_rgb(spark):
+    """aHash bits are the exact integer mean compare; RGB collapses by
+    channel sum; tiny/undecodable blobs yield null."""
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import (
+        ahash_images,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    # left half 0, right half 200 -> bits 0 for left blocks, 1 for right
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:, 8:] = 200
+    rgb = np.stack([img] * 3, axis=2)
+    rows = [
+        (1, bytearray(encode_pgm(img))),
+        (2, bytearray(encode_ppm(rgb))),  # same pattern via channel sum
+        (3, bytearray(b"P5 2 2 255\n\x00\x01\x02\x03")),  # < 8x8 -> null
+        (4, bytearray(b"\x00garbage")),  # undecodable -> null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r.doc_id: r.ahash for r in ahash_images(df).collect()}
+    expect = ("0000" + "1111") * 8
+    assert out[1] == expect
+    assert out[2] == expect
+    assert out[3] is None and out[4] is None

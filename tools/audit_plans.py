@@ -61,6 +61,8 @@ EXPECTED = {
     "multimodal_resize": {"Python"},
     # real raster decode (pure-numpy netpbm/BMP) runs in mapInPandas
     "multimodal_decode_resize": {"Python"},
+    # real raster decode + integer aHash runs in mapInPandas
+    "multimodal_image_ahash": {"Python"},
     # real WAV parse + frame features run in mapInPandas
     "multimodal_audio_features": {"Python"},
     # real AVI container walk runs in mapInPandas
