@@ -79,6 +79,11 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "quality_linear_classifier",
     "collocation_pmi_topk",
+    # round-4 additions
+    "duplicate_span_detect",
+    "triangle_count_parts",
+    "multimodal_image_ahash",
+    "rag_chunk_windows",
 ]
 
 

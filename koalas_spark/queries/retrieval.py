@@ -300,3 +300,119 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bpe").cast("bigint").alias("sum_pieces"),
         F.expr("(sum(n_bpe) * 1000000) div sum(n_ws)").alias("fertility_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# 177. BPE merge learning — the tokenizer-TRAINING loop (Sennrich
+# BPE), distributed: each iteration is ONE map-side-combined pair-
+# count aggregate over the (word, freq) vocabulary table (vocab-sized,
+# not corpus-sized — the explode is per distinct word, weighted by its
+# corpus frequency), then a 1-ROW collect of the winning pair (the
+# only driver state, bounded by construction) broadcast back as a
+# literal string replace. Three unrolled iterations here; production
+# trainers run the same loop 30k times. Greedy left-to-right
+# non-overlapping replace semantics are identical in Java and DuckDB,
+# and the winner is pinned by (count DESC, pair ASC), so every merge
+# — and therefore the whole chain — is engine-reproducible. Oracle:
+# the same three iterations as chained CTEs.
+@query(
+    "bpe_learn_merges",
+    oracle="""
+WITH w AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+        FROM documents) t
+  GROUP BY word),
+s1 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sp,
+              freq FROM w),
+p1 AS (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, LEN(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
+    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s1) q
+    WHERE LEN(tk) >= 2) z
+  GROUP BY pair),
+m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+s2 AS (SELECT replace(sp, ' ' || (SELECT pair FROM m1) || ' ',
+                      ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')
+                 AS sp, freq FROM s1),
+p2 AS (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, LEN(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
+    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s2) q
+    WHERE LEN(tk) >= 2) z
+  GROUP BY pair),
+m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+s3 AS (SELECT replace(sp, ' ' || (SELECT pair FROM m2) || ' ',
+                      ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')
+                 AS sp, freq FROM s2),
+p3 AS (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, LEN(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
+    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s3) q
+    WHERE LEN(tk) >= 2) z
+  GROUP BY pair),
+m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+SELECT 1 AS merge_rank, pair, CAST(cnt AS BIGINT) AS freq FROM m1
+UNION ALL
+SELECT 2, pair, CAST(cnt AS BIGINT) FROM m2
+UNION ALL
+SELECT 3, pair, CAST(cnt AS BIGINT) FROM m3
+""",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sp = w.select(
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split(F.col("word"), "")), F.lit(" ")
+        ).alias("sp"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for rank in (1, 2, 3):
+        tk = F.split(F.trim(F.col("sp")), " ")
+        pairs = (
+            sp.select(tk.alias("tk"), "freq")
+            .filter(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tk") - 1),
+                        lambda i: F.concat(
+                            F.element_at("tk", i),
+                            F.lit(" "),
+                            F.element_at("tk", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()[0]  # 1-row driver state per iteration, by design
+        )
+        merges.append((rank, top["pair"], int(top["cnt"])))
+        sp = sp.withColumn(
+            "sp",
+            F.replace(
+                F.col("sp"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {top['pair'].replace(' ', '')} "),
+            ),
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, freq bigint"
+    )
