@@ -79,11 +79,14 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "quality_linear_classifier",
     "collocation_pmi_topk",
-    # round-4 additions
+    # round-4 additions (triangle_count_parts stays registry-only:
+    # exact wedge-join triangle counting measures 7.8s at sf0.1 /
+    # 40.7s at sf1 — the cost IS the operator, see its docstring)
     "duplicate_span_detect",
-    "triangle_count_parts",
     "multimodal_image_ahash",
     "rag_chunk_windows",
+    "bpe_learn_merges",
+    "char_entropy_quality",
 ]
 
 
