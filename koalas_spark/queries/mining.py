@@ -438,3 +438,90 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "n_types", "mass", "cum_ppm")
     )
+
+
+# --------------------------------------------------------------------
+# 178. winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+# algorithm): instead of keeping EVERY 8-token span like
+# duplicate_span_detect, hash all 5-token shingles and keep only the
+# MINIMUM hash in each window of 4 consecutive shingles. Guarantee:
+# any shared substring of >= 8 tokens still produces a shared
+# fingerprint, but fingerprint density drops to ~2/(w+1) of positions
+# — the sublinear storage path for corpus-scale substring dedup. All
+# selection is ARRAY-SIDE (per-row codegen, no shuffle until the tiny
+# (doc, fp) explode); min is over 8-hex-char md5 prefixes, and
+# lexicographic string order is identical in both engines. The df
+# stage mirrors duplicate_span_detect: O(1) aggregation buffers,
+# linear join back.
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, LEN(hs) - 2),
+             j -> list_min(hs[j:j+3])))) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform(
+               list_transform(range(1, LEN(toks) - 3),
+                              i -> array_to_string(toks[i:i+4], ' ')),
+               s -> substr(md5(s), 1, 8)) AS hs
+    FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+          FROM documents) t
+    WHERE LEN(toks) >= 8) h),
+df AS (SELECT fp, COUNT(*) AS df FROM fp GROUP BY fp),
+tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+dup AS (
+  SELECT f.doc_id, COUNT(*) AS n_shared
+  FROM fp f JOIN df ON f.fp = df.fp
+  WHERE df.df >= 2
+  GROUP BY f.doc_id)
+SELECT tot.doc_id,
+       CAST(tot.n_fp AS BIGINT)                 AS n_fp,
+       CAST(COALESCE(dup.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(dup.n_shared, 0) * 1000000 // tot.n_fp AS BIGINT)
+         AS shared_ppm
+FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 4),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 5)),
+        ),
+        lambda s: F.substring(F.md5(s), 1, 8),
+    )
+    fp = (
+        d.select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 8)
+        .select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("hs") - 3),
+                        lambda j: F.array_min(F.slice(F.col("hs"), j, 4)),
+                    )
+                )
+            ).alias("fp"),
+        )
+        .localCheckpoint(eager=False)  # fingerprint frame feeds 3 consumers
+    )
+    df = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    tot = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    dup = (
+        fp.join(df.filter(F.col("df") >= 2).select("fp"), "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_fp").cast("bigint").alias("n_fp"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.expr("coalesce(n_shared, 0) * 1000000 div n_fp")
+        .cast("bigint")
+        .alias("shared_ppm"),
+    )
