@@ -261,3 +261,49 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return as_of(1).unionByName(as_of(2))
+
+
+# --------------------------------------------------------------------
+# 179. event-transition matrix — the first-order Markov view of user
+# behaviour (what follows what, with transition probabilities): LEAD
+# over (user_id, time) pairs each event with its successor, then one
+# map-side-combined count per (type, next_type). The per-user window
+# partitions on a key whose cardinality grows with the data (bounded
+# partitions at any scale); the probability normalization runs over
+# the ~|types|² aggregated matrix rows, not the event stream.
+# prob_ppm is an exact integer ratio — no float division to drift.
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(*) * 1000000
+            // SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+         AS prob_ppm
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        F.col("c").cast("bigint").alias("cnt"),
+        F.expr("c * 1000000 div sum(c) over (partition by event_type)")
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )
