@@ -307,3 +307,61 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# 180. conversion latency — seconds from a user's FIRST view to their
+# first purchase at-or-after it, summarized as exact interpolated
+# percentiles. Two conditional single-key aggregations + one user_id
+# equi-join (co-partitioned shuffle, bounded per-user state); the
+# percentile runs over the per-user latency table (one row per
+# converter), never the event stream. Latency is an integer-seconds
+# diff of the normalized NTZ timestamps — identical in both engines
+# on this UTC host — and percentile()/quantile_cont agree exactly on
+# integer inputs. The 1-row viewer count broadcasts (expected BNLJ).
+@query(
+    "conversion_latency_stats",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS v0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p0
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v0
+      GROUP BY e.user_id),
+l AS (SELECT v.user_id, date_diff('second', v.v0, p.p0) AS secs
+      FROM v JOIN p ON v.user_id = p.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+       CAST(COUNT(*) AS BIGINT)                 AS n_converted,
+       quantile_cont(secs, 0.5)                 AS p50_s,
+       quantile_cont(secs, 0.9)                 AS p90_s,
+       CAST(MAX(secs) AS BIGINT)                AS max_s
+FROM l
+""",
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    lat = v.join(p, "user_id").select(
+        (F.unix_timestamp("p0") - F.unix_timestamp("v0")).alias("secs")
+    )
+    stats = lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.percentile("secs", F.lit(0.5)).alias("p50_s"),
+        F.percentile("secs", F.lit(0.9)).alias("p90_s"),
+        F.max("secs").cast("bigint").alias("max_s"),
+    )
+    n_v = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewers"))
+    return n_v.crossJoin(F.broadcast(stats)).select(
+        "n_viewers", "n_converted", "p50_s", "p90_s", "max_s"
+    )

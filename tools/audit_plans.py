@@ -52,6 +52,8 @@ EXPECTED = {
     "pagerank_nations": {"BroadcastNestedLoopJoin"},
     # two 1-row frames (edge count × triangle count) cross-joined
     "triangle_count_parts": {"BroadcastNestedLoopJoin"},
+    # 1-row viewer-count frame cross-joined onto the 1-row stats frame
+    "conversion_latency_stats": {"BroadcastNestedLoopJoin"},
     # 1-row total-token frame cross-joined onto the bigram aggregate
     "collocation_pmi_topk": {"BroadcastNestedLoopJoin"},
     # Arrow-vectorized Python stages (grouped-map / map-in-pandas)
