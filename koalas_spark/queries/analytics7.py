@@ -365,3 +365,57 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_v.crossJoin(F.broadcast(stats)).select(
         "n_viewers", "n_converted", "p50_s", "p90_s", "max_s"
     )
+
+
+# --------------------------------------------------------------------
+# 181. longest daily-activity streak — the gaps-and-islands pattern:
+# consecutive calendar days collapse to one island because
+# day − row_number() is constant within a run (the standard
+# Tabibitosan trick, pure window arithmetic — no self-join, no
+# iteration). Both windows partition on user_id (cardinality grows
+# with the data, partitions stay bounded); the per-island and
+# per-user aggregations are map-side-combined counts over the tiny
+# (user, day) distinct frame, never the raw event stream. Integer
+# date arithmetic only — nothing to drift between engines.
+@query(
+    "longest_daily_streak",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+i AS (SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS island
+      FROM d),
+s AS (SELECT user_id, island, COUNT(*) AS streak_len, MIN(day) AS streak_start
+      FROM i GROUP BY user_id, island),
+r AS (SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start) AS rk
+      FROM s)
+SELECT user_id, CAST(streak_len AS BIGINT) AS streak_len, streak_start
+FROM r WHERE rk = 1
+""",
+)
+def longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    wi = Window.partitionBy("user_id").orderBy("day")
+    i = e.withColumn(
+        "island", F.date_sub("day", F.row_number().over(wi))
+    )
+    s = i.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").cast("bigint").alias("streak_len"),
+            "streak_start",
+        )
+    )
