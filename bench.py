@@ -90,10 +90,26 @@ HEADLINE = [
 ]
 
 
+def _measure(spark, queries, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = queries[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    # inter-measurement hygiene: drop cached/persisted blocks from
+    # this try, collect py4j refs, and let the ContextCleaner release
+    # orphaned RDDs — measured to cut try-to-try variance on the
+    # persist-heavy pipelines
+    spark.catalog.clearCache()
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    return dt
+
+
 def run(sf_dir: str, names: list[str]) -> dict:
     spark = get_spark("koalas_spark_bench")
     queries = all_queries()
-    timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so timings measure the query
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # warm the Arrow python-UDF workers too: the first pandas_udf
@@ -108,38 +124,31 @@ def run(sf_dir: str, names: list[str]) -> dict:
     spark.range(1000, numPartitions=64).select(_warm("id")).write.format(
         "noop"
     ).mode("overwrite").save()
-    for name in names:
-        # best of 2: first execution pays JIT/codegen compilation for
-        # the query's generated classes; the repeat measures the
-        # steady-state plan cost (what a long-running cluster sees).
-        # If the best is still an outlier, retry up to 2 more times:
-        # this VM sees intermittent hypervisor CPU throttling (~6%
-        # steal historically) that can inflate a burst 5-20x, and a
-        # throttled sample measures the hypervisor, not the plan.
-        samples: list[float] = []
-        # 3.0s retry bar: the heaviest queries steady-state at ~2.4s,
-        # so a lower bar made every healthy run burn all 5 samples.
-        # Overridable for scaled runs (sf1 queries legitimately exceed
-        # 3s; without the override every query burns all 5 samples)
-        bar = float(os.environ.get("SPARK_GRAFT_RETRY_BAR", "3.0"))
-        while len(samples) < 2 or (min(samples) > bar and len(samples) < 5):
-            t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-            # inter-measurement hygiene: drop cached/persisted blocks
-            # from this try, collect py4j refs, and let the
-            # ContextCleaner release orphaned RDDs — measured to cut
-            # try-to-try variance on the persist-heavy pipelines
-            spark.catalog.clearCache()
-            import gc
 
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-        timings[name] = round(min(samples), 3)
+    # min-of-3 with ALTERNATING order (VERDICT r4 #4): the old
+    # back-to-back min-of-2 let a single hypervisor-throttle burst
+    # (~6% CPU steal historically, 5-20x inflation) hit both samples
+    # of the same query and masquerade as a regression (q8 read 2.00x
+    # slower with zero code change). Three full passes over the list,
+    # direction alternating per pass, decorrelate each query's samples
+    # in time — a burst now pollutes at most one of the three.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for p in range(3):
+        ordered = names if p % 2 == 0 else list(reversed(names))
+        for name in ordered:
+            samples[name].append(_measure(spark, queries, name, sf_dir))
+    # outlier escape hatch: a query whose BEST of 3 still exceeds the
+    # bar gets up to 2 extra tries (the heaviest queries steady-state
+    # ~2.4s at sf0.1). Overridable for scaled runs (sf1 legitimately
+    # exceeds 3s; without the override every query burns all retries).
+    bar = float(os.environ.get("SPARK_GRAFT_RETRY_BAR", "3.0"))
+    for name in names:
+        while min(samples[name]) > bar and len(samples[name]) < 5:
+            samples[name].append(_measure(spark, queries, name, sf_dir))
+    timings = {n: round(min(samples[n]), 3) for n in names}
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
-        "metric": "koalas_spark headline queries wall time (min over 2-5 samples per query, 3.0s retry bar)",
+        "metric": "koalas_spark headline queries wall time (min over 3-5 alternating-order samples per query, 3.0s retry bar)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

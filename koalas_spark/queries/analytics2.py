@@ -264,18 +264,18 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grouped_demean_arrow",
     oracle="""
-SELECT o_orderkey, o_orderpriority, o_orderdate,
+SELECT o_orderkey, o_orderpriority, o_day,
        CAST(SIGN(num) AS BIGINT) * ((2 * ABS(num) + n) // (2 * n)) AS demeaned_e4
 FROM (
-  SELECT o_orderkey, o_orderpriority, o_orderdate,
+  SELECT o_orderkey, o_orderpriority, o_day,
          (c * n - s) * 100 AS num, n
   FROM (
-    SELECT o_orderkey, o_orderpriority, o_orderdate,
+    SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS o_day,
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
            COUNT(*) OVER w AS n,
            SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS s
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority, o_orderdate)) a) b
+    WINDOW w AS (PARTITION BY o_orderpriority, CAST(o_orderdate AS DATE))) a) b
 """,
 )
 def grouped_demean_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,19 +283,26 @@ def grouped_demean_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("o_day"),
+        "o_totalprice",
     )
 
-    # Exact integer demean: prices become cents (exact — each double
-    # is within 1e-9 of its 2-decimal value, so rint never ties), and
+    # Exact integer demean: prices become cents via HALF-AWAY rounding
+    # (sign*floor(|x|*100 + 0.5)) — the same tie rule as the oracle's
+    # ROUND; np.rint's half-to-even flips any price whose double*100
+    # lands on an exact .5 boundary (the r4 driver-hash mismatch).
     # demeaned_e4 = half-away-rounded (c - mean) in 1e-4 dollars is
     # computed entirely in int64: (c*n - s)*100 over n with the
     # (2|num|+n) div (2n) rounding identity. A float mean here
     # (pandas .mean() = pairwise summation) diverged from the oracle's
     # sequential AVG in the last ulp at sf1 group sizes and flipped
-    # rounded boundaries — integers cannot.
+    # rounded boundaries — integers cannot. The date key/output is DATE
+    # (not timestamp_ntz) on both sides to shrink the hashed surface.
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = np.rint(pdf["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        p = pdf["o_totalprice"].to_numpy() * 100.0
+        c = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(np.int64)
         n = len(c)
         num = (c * n - c.sum()) * 100
         e4 = np.sign(num) * ((2 * np.abs(num) + n) // (2 * n))
@@ -303,13 +310,13 @@ def grouped_demean_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "o_orderkey": pdf["o_orderkey"],
                 "o_orderpriority": pdf["o_orderpriority"],
-                "o_orderdate": pdf["o_orderdate"],
+                "o_day": pdf["o_day"],
                 "demeaned_e4": e4,
             }
         )
 
-    return o.groupBy("o_orderpriority", "o_orderdate").applyInPandas(
+    return o.groupBy("o_orderpriority", "o_day").applyInPandas(
         demean,
         schema="o_orderkey bigint, o_orderpriority string, "
-        "o_orderdate timestamp_ntz, demeaned_e4 bigint",
+        "o_day date, demeaned_e4 bigint",
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from koalas_spark.plans.session import dim
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t, davg, dsum, _dsum_sql
 
@@ -68,7 +69,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     offer = (
-        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        li.join(dim(eu_supp, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
@@ -76,8 +77,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         offer.withColumn("_best", best)
         .filter(F.col("unit_price") == F.col("_best"))
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim(part, "part"), F.col("l_partkey") == part.p_partkey)
+        .join(dim(eu_supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_price")
     )
 
@@ -131,10 +132,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(supp.filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))),
+        li.join(dim(supp.filter(F.col("supp_nation").isin("NATION_1", "NATION_2")), "supplier"),
                 F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))),
+        .join(dim(cust.filter(F.col("cust_nation").isin("NATION_1", "NATION_2")), "customer"),
               F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate"))
@@ -146,7 +147,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # 84. TPC-H Q8 — national market share: NATION_3 suppliers' share of
 # ASIA customers' PROMO-part revenue per year. Conditional-sum ratio
-# over one joined fact pass; every dim broadcasts.
+# over one joined fact pass; constant dims (nation/region) broadcast,
+# SF-linear part/customer/supplier joins go through dim() so AQE owns
+# the strategy (broadcast at bench SF, shuffle at cluster scale).
 @query(
     "q8_market_share",
     oracle=f"""
@@ -194,10 +197,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     target = F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim(part, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim(supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg((dsum(target) / dsum(vol)).cast("double").alias("mkt_share"))
@@ -207,8 +210,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # 85. TPC-H Q9 — product-type profit by nation and year. Profit uses
 # p_retailprice*quantity as the cost leg (no partsupp/ps_supplycost in
-# this schema). Part filter `%red%` prunes the broadcast dim; the fact
-# pass groups once on (nation, year).
+# this schema). Part filter `%red%` prunes the dim before the join
+# (AQE broadcasts the pruned side at bench SF); the fact pass groups
+# once on (nation, year).
 @query(
     "q9_product_profit",
     oracle=f"""
@@ -236,8 +240,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(dim(part, "part"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim(supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .withColumn("o_year", F.year("o_orderdate"))
@@ -274,7 +278,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
     val = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(dim(supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum("l_extendedprice").alias("value"))
     )
@@ -373,7 +377,7 @@ def q16_supplier_part_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim(part, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -410,7 +414,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim(part, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"))
@@ -421,7 +425,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 91. TPC-H Q20 (adapted) — suppliers who shipped a significant volume
 # of 'red*' parts in 1997 (no partsupp: availability ≈ shipped qty).
 # HAVING-filtered semi join back to supplier; the grouped subquery is
-# small, so it broadcasts into the semi join.
+# small at bench SF (AQE broadcasts it into the semi join) but
+# SF-linear in the worst case, so the hint is left to the planner.
 @query(
     "q20_promo_suppliers",
     oracle="""
@@ -445,14 +450,16 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     supp = _t(spark, sf_dir, "supplier")
     heavy = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim(part, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_qty"))
         .filter(F.col("_qty") > 250)
         .select("l_suppkey")
     )
+    # heavy is a per-supplier aggregate (SF-linear upper bound), so the
+    # semi-join side is unhinted — AQE broadcasts it at bench SF.
     return supp.join(
-        F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        heavy, supp.s_suppkey == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
 
 
@@ -511,7 +518,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name")
     return (
         per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
-        .join(F.broadcast(supp), F.col("_late_supp") == F.col("s_suppkey"))
+        .join(dim(supp, "supplier"), F.col("_late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("_late_lines").cast("bigint").alias("numwait"))
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from koalas_spark.plans.session import dim
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 
@@ -82,8 +83,8 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim(c, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim(s, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
         )

@@ -91,14 +91,17 @@ def stream_static_join_agg(
     """Stream-static join: the event stream enriches against a static
     dimension (per-user order profile), then aggregates per event_type
     x spend band. The static side is re-read per micro-batch by the
-    engine; Spark broadcasts it under the join threshold, so the
-    stream side never shuffles — the canonical enrich-on-ingest shape.
+    engine; it is left UNHINTED because the profile is SF-linear
+    (one row per customer) — under the broadcast threshold Spark still
+    broadcasts it and the stream side never shuffles, while at cluster
+    scale the planner degrades to a per-batch shuffle join instead of
+    OOMing on a forced hint.
     """
     src = _staged_events_stream(spark, events_path, "sj")
     profile = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_spend")
     ).select("user_id", F.when(F.col("_spend") > 1_000_000, "big").otherwise("small").alias("band"))
-    joined = src.join(F.broadcast(profile), "user_id", "left").fillna(
+    joined = src.join(profile, "user_id", "left").fillna(
         {"band": "none"}
     )
     agg = joined.groupBy("event_type", "band").agg(
