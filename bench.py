@@ -79,14 +79,18 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "quality_linear_classifier",
     "collocation_pmi_topk",
-    # round-4 additions (triangle_count_parts stays registry-only:
-    # exact wedge-join triangle counting measures 7.8s at sf0.1 /
-    # 40.7s at sf1 — the cost IS the operator, see its docstring)
     "duplicate_span_detect",
     "multimodal_image_ahash",
     "rag_chunk_windows",
     "bpe_learn_merges",
     "char_entropy_quality",
+    # graph miners benched per VERDICT r4 #6. copurchase is ~1.5s;
+    # triangle_count_parts steady-states ~5.4s at sf0.1 (40.7s at
+    # sf1) — past the retry bar by design: the Σ out-deg² wedge join
+    # IS the operator's cost (degree-oriented edges bound it; see the
+    # docstring), so the bar documents rather than hides it.
+    "copurchase_pairs",
+    "triangle_count_parts",
 ]
 
 

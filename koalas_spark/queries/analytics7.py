@@ -245,10 +245,21 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.sources.snapshots import read_snapshot, write_snapshot
 
     src = os.path.join(sf_dir, "orders.parquet")
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.stat(src).st_mtime)}"
+    # nanosecond mtime in the cache key: int-seconds could serve a
+    # stale snapshot if the source parquet were regenerated within the
+    # same second as the cached build
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.stat(src).st_mtime_ns}"
     path = os.path.join("/root/repo/.tmp", f"snap_orders_{tag}")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     if not os.path.exists(os.path.join(path, "_v2.json")):
+        # a run interrupted between the two commits leaves _v1.json
+        # behind; appending to that partial table would make version 2
+        # contain the pre-1995 slice twice and poison the cache until
+        # manual cleanup — rebuild the snapshot dir from scratch
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
         cut = F.lit("1995-01-01").cast("timestamp")
         write_snapshot(o.filter(F.col("o_orderdate") < cut), path)
         write_snapshot(o.filter(F.col("o_orderdate") >= cut), path)
@@ -298,7 +309,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wt = Window.partitionBy("event_type")
     return pairs.select(
         "event_type",
         "next_type",

@@ -51,16 +51,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
 
     docs = _t(spark, sf_dir, "documents")
-    # No persist: the shingle table is consumed exactly twice — once
+    # Lazy localCheckpoint: the shingle table is consumed twice — once
     # by the signature UDF and once (single pass, gather-shaped join)
-    # by the verify stage — and re-deriving it is one scan + codegen
-    # tokenize/hash. Measured at sf0.1 with alternating-order min-of-3
-    # (r4): recompute 2.0-2.5s vs MEMORY_AND_DISK persist 3.2-3.9s —
-    # serializing/deserializing array<long> blocks costs more than the
-    # recompute, and the persist also pins executor memory the rest of
-    # the pipeline wants. At cluster scale recompute additionally
-    # avoids block-manager churn on wide array columns.
-    base = shingle_sets(docs, "doc_id", "text")
+    # by the verify stage. A MEMORY_AND_DISK persist measured WORSE
+    # than recompute in r4 (3.2-3.9s vs 2.0-2.5s at sf0.1: ser/deser
+    # of array<long> blocks plus pinned executor memory), but a lazy
+    # localCheckpoint materializes the first computation as local
+    # blocks AND truncates the lineage, so the verify side reads
+    # blocks instead of re-running scan+tokenize+shingle: measured
+    # r5 interleaved min-of-4 at sf0.1, checkpoint 1.6-1.8s vs
+    # recompute 2.1-2.4s. Blocks are freed by the ContextCleaner when
+    # the frame goes out of scope.
+    base = shingle_sets(docs, "doc_id", "text").localCheckpoint(eager=False)
     sigs = minhash_sigs(base, num_perm=64)
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
     return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(

@@ -426,9 +426,6 @@ def token_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("bigint").alias("mass"),
     )
     total = b.agg(F.sum("mass").alias("tot"))
-    w = Window.orderBy(F.desc("bucket")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     return (
         b.crossJoin(F.broadcast(total))  # ≤64 rows × 1 row
         .withColumn(

@@ -371,6 +371,12 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group-by on the 64-bit key is one map-side-combined shuffle; at
 # crawl scale this is exactly the image-dedup join key pipeline
 # (hash → group → keep canonical), with no pairwise image compare.
+# ORACLE ASSUMES ASCII TEXT: the Spark side slices the first 256
+# BYTES of the UTF-8 encoding while the oracle takes the first 256
+# CHARACTERS and ascii() of each — identical only while every char is
+# single-byte (true for this generator's documents, asserted by the
+# byte/char length equality in tests/test_multimodal.py). A non-ASCII
+# generator would need the oracle rewritten over encode(text) blobs.
 @query(
     "multimodal_image_ahash",
     oracle="""

@@ -309,60 +309,69 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not corpus-sized — the explode is per distinct word, weighted by its
 # corpus frequency), then a 1-ROW collect of the winning pair (the
 # only driver state, bounded by construction) broadcast back as a
-# literal string replace. Three unrolled iterations here; production
-# trainers run the same loop 30k times. Greedy left-to-right
-# non-overlapping replace semantics are identical in Java and DuckDB,
-# and the winner is pinned by (count DESC, pair ASC), so every merge
-# — and therefore the whole chain — is engine-reproducible. Oracle:
-# the same three iterations as chained CTEs.
-@query(
-    "bpe_learn_merges",
-    oracle="""
-WITH w AS (
+# literal string replace. The merge count is parameterized
+# (BPE_MERGES, default 16; production trainers run the same loop 30k
+# times): cost/state bounds are n Spark jobs, n rows of driver state,
+# and a lazy localCheckpoint per iteration so each replace reads the
+# previous iteration's materialized blocks instead of replaying the
+# whole merge chain — lineage depth stays 1 regardless of n, and the
+# superseded checkpoint blocks are freed by the ContextCleaner as the
+# old frames go out of scope. Greedy left-to-right non-overlapping
+# replace semantics are identical in Java and DuckDB, and the winner
+# is pinned by (count DESC, pair ASC), so every merge — and therefore
+# the whole chain — is engine-reproducible. Oracle: the same n
+# iterations as PROGRAM-GENERATED chained CTEs (_bpe_oracle_sql).
+BPE_MERGES = 16
+
+
+def _bpe_oracle_sql(n: int = BPE_MERGES) -> str:
+    """Generate the n-iteration chained-CTE DuckDB twin of the loop.
+
+    Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    s_{i+1} references s_i once plus m_i twice, so inlining expands
+    the chain 3^n times (n=16 blew the process file-descriptor limit
+    re-opening the parquet). Materialization makes it linear — one
+    evaluation per iteration, the same shape the Spark loop executes.
+    """
+    ctes = [
+        """w AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq
   FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS word
         FROM documents) t
-  GROUP BY word),
-s1 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sp,
-              freq FROM w),
-p1 AS (
+  GROUP BY word)""",
+        """s1 AS MATERIALIZED (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sp,
+              freq FROM w)""",
+    ]
+    for i in range(1, n + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
   SELECT pair, SUM(freq) AS cnt FROM (
     SELECT unnest(list_transform(range(1, LEN(tk)),
                                  i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
-    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s1) q
+    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s{i}) q
     WHERE LEN(tk) >= 2) z
-  GROUP BY pair),
-m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-s2 AS (SELECT replace(sp, ' ' || (SELECT pair FROM m1) || ' ',
-                      ' ' || replace((SELECT pair FROM m1), ' ', '') || ' ')
-                 AS sp, freq FROM s1),
-p2 AS (
-  SELECT pair, SUM(freq) AS cnt FROM (
-    SELECT unnest(list_transform(range(1, LEN(tk)),
-                                 i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
-    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s2) q
-    WHERE LEN(tk) >= 2) z
-  GROUP BY pair),
-m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-s3 AS (SELECT replace(sp, ' ' || (SELECT pair FROM m2) || ' ',
-                      ' ' || replace((SELECT pair FROM m2), ' ', '') || ' ')
-                 AS sp, freq FROM s2),
-p3 AS (
-  SELECT pair, SUM(freq) AS cnt FROM (
-    SELECT unnest(list_transform(range(1, LEN(tk)),
-                                 i -> tk[i] || ' ' || tk[i+1])) AS pair, freq
-    FROM (SELECT string_split(TRIM(sp), ' ') AS tk, freq FROM s3) q
-    WHERE LEN(tk) >= 2) z
-  GROUP BY pair),
-m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-SELECT 1 AS merge_rank, pair, CAST(cnt AS BIGINT) AS freq FROM m1
-UNION ALL
-SELECT 2, pair, CAST(cnt AS BIGINT) FROM m2
-UNION ALL
-SELECT 3, pair, CAST(cnt AS BIGINT) FROM m3
-""",
-)
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+  GROUP BY pair)"""
+        )
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        if i < n:
+            ctes.append(
+                f"""s{i + 1} AS MATERIALIZED (SELECT replace(sp, ' ' || (SELECT pair FROM m{i}) || ' ',
+                      ' ' || replace((SELECT pair FROM m{i}), ' ', '') || ' ')
+                 AS sp, freq FROM s{i})"""
+            )
+    selects = [
+        f"SELECT {i} AS merge_rank, pair, CAST(cnt AS BIGINT) AS freq FROM m{i}"
+        for i in range(1, n + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle_sql())
+def bpe_learn_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -377,7 +386,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     merges = []
-    for rank in (1, 2, 3):
+    for rank in range(1, n_merges + 1):
         tk = F.split(F.trim(F.col("sp")), " ")
         pairs = (
             sp.select(tk.alias("tk"), "freq")
@@ -401,15 +410,19 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "pair")
             .limit(1)
-            .collect()[0]  # 1-row driver state per iteration, by design
+            .take(1)  # 1-row driver state per iteration, by design
         )
-        merges.append((rank, top["pair"], int(top["cnt"])))
+        if not top:
+            # vocabulary exhausted (every word a single symbol):
+            # return the merges learned so far instead of erroring
+            break
+        merges.append((rank, top[0]["pair"], int(top[0]["cnt"])))
         sp = sp.withColumn(
             "sp",
             F.replace(
                 F.col("sp"),
-                F.lit(f" {top['pair']} "),
-                F.lit(f" {top['pair'].replace(' ', '')} "),
+                F.lit(f" {top[0]['pair']} "),
+                F.lit(f" {top[0]['pair'].replace(' ', '')} "),
             ),
         ).localCheckpoint(eager=False)
 

@@ -39,28 +39,49 @@ def latest_version(path: str) -> int:
 
 
 def write_snapshot(df: DataFrame, path: str) -> int:
-    """Commit ``df`` as a new version: data into ``v{N}/``, manifest
-    ``_v{N}.json`` = previous manifest's dirs + the new one. Returns
-    the committed version number. The data write completes before the
-    manifest appears, so a crash mid-commit leaves an orphan data dir
-    but never a manifest pointing at missing files (write-audit-
-    publish ordering)."""
+    """Commit ``df`` as a new version: data into a uniquely named
+    immutable dir, manifest ``_v{N}.json`` = previous manifest's dirs
+    + the new one. Returns the committed version number.
+
+    Crash safety: the data write completes before any manifest
+    appears, so a crash mid-commit leaves an orphan data dir but never
+    a manifest pointing at missing files (write-audit-publish).
+
+    Concurrency safety: the manifest content is written to a private
+    tmp file, then published with ``os.link`` — an atomic
+    create-if-absent, so readers only ever see complete manifests AND
+    the first committer of ``_v{N}.json`` wins. The loser re-reads the
+    (new) latest manifest and retries with N+1, so concurrent commits
+    serialize instead of silently overwriting each other (the
+    lost-update hazard of a read-latest-then-replace publish). The
+    data dir carries a random suffix so retries never collide on the
+    filesystem and the Spark write runs exactly once.
+    """
+    import uuid
+
     os.makedirs(path, exist_ok=True)
-    try:
-        prev = latest_version(path)
-        with open(_manifest_path(path, prev)) as f:
-            dirs = json.load(f)["dirs"]
-        version = prev + 1
-    except FileNotFoundError:
-        dirs, version = [], 1
-    data_dir = os.path.join(path, f"v{version}")
-    df.write.mode("overwrite").parquet(data_dir)
-    manifest = {"version": version, "dirs": dirs + [f"v{version}"]}
-    tmp = _manifest_path(path, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(path, version))  # atomic publish
-    return version
+    suffix = uuid.uuid4().hex[:12]
+    data_dir_name = f"d-{suffix}"
+    df.write.mode("overwrite").parquet(os.path.join(path, data_dir_name))
+    while True:
+        try:
+            prev = latest_version(path)
+            with open(_manifest_path(path, prev)) as f:
+                dirs = json.load(f)["dirs"]
+            version = prev + 1
+        except FileNotFoundError:
+            dirs, version = [], 1
+        manifest = {"version": version, "dirs": dirs + [data_dir_name]}
+        tmp = _manifest_path(path, version) + f".tmp-{suffix}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _manifest_path(path, version))  # atomic CAS publish
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race — re-read latest and retry N+1
+        os.unlink(tmp)
+        return version
 
 
 def read_snapshot(

@@ -140,3 +140,39 @@ def test_snapshot_time_travel_isolation(spark):
     # v1's content is exactly the frozen population
     got = sorted(r.k for r in read_snapshot(spark, path, version=1).collect())
     assert got == list(range(10))
+
+
+def test_snapshot_commit_race_retries_next_version(spark):
+    """If another committer publishes _v{N}.json between our read of
+    the latest manifest and our publish, the os.link CAS must fail and
+    the commit must land on N+1 with the racer's dirs included —
+    never silently overwrite the racer's manifest (lost update)."""
+    import json
+    import os
+    import shutil as _sh
+
+    from koalas_spark.sources.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = f"{TMP}/snap_race"
+    _sh.rmtree(path, ignore_errors=True)
+    assert write_snapshot(spark.range(0, 5).withColumnRenamed("id", "k"), path) == 1
+
+    # simulate a racer: hand-publish _v2.json pointing at its own dir
+    racer_dir = os.path.join(path, "d-racer")
+    spark.range(100, 103).withColumnRenamed("id", "k").write.parquet(racer_dir)
+    with open(os.path.join(path, "_v1.json")) as f:
+        v1_dirs = json.load(f)["dirs"]
+    with open(os.path.join(path, "_v2.json"), "w") as f:
+        json.dump({"version": 2, "dirs": v1_dirs + ["d-racer"]}, f)
+
+    # our commit must observe the racer and serialize after it
+    assert write_snapshot(spark.range(200, 202).withColumnRenamed("id", "k"), path) == 3
+    assert latest_version(path) == 3
+    # racer's manifest intact, v3 sees everything: 5 + 3 + 2 rows
+    assert read_snapshot(spark, path, version=2).count() == 8
+    assert read_snapshot(spark, path, version=3).count() == 10
+    _sh.rmtree(path, ignore_errors=True)

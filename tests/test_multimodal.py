@@ -552,3 +552,18 @@ def test_ahash_known_pattern_and_rgb(spark):
     assert out[1] == expect
     assert out[2] == expect
     assert out[3] is None and out[4] is None
+
+
+def test_documents_are_ascii_for_ahash_oracle(spark):
+    """The multimodal_image_ahash oracle slices 256 CHARACTERS while
+    the Spark side slices 256 BYTES of UTF-8; the equivalence needs
+    every document character to be single-byte. Assert the generator
+    still produces pure-ASCII text so a future non-ASCII regen fails
+    loudly here instead of as an opaque oracle hash mismatch."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_multibyte = d.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_multibyte == 0

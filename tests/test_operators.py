@@ -214,3 +214,30 @@ def test_containment_pairs_planted_subset(spark):
         for r in containment_pairs(df, pct_threshold=90).collect()
     }
     assert got == {(1, 2): 100}
+
+
+def test_bpe_learn_merges_degenerate_vocab(spark, tmp_path):
+    """A corpus of single-character words has no adjacent symbol pair:
+    the merge loop must stop and return the merges learned so far
+    (zero here) instead of raising on an empty top-pair frame."""
+    from koalas_spark.queries.retrieval import bpe_learn_merges
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a b c", "en", "web"), (2, "d e", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_learn_merges(spark, sf_dir, n_merges=4)
+    assert out.count() == 0
+    assert out.columns == ["merge_rank", "pair", "freq"]
+
+
+def test_bpe_oracle_sql_generation():
+    """The generated chained-CTE oracle must scale with n and keep
+    every CTE materialized (plain CTEs inline 3^n times in DuckDB)."""
+    from koalas_spark.queries.retrieval import BPE_MERGES, _bpe_oracle_sql
+
+    sql = _bpe_oracle_sql(5)
+    assert sql.count("AS MATERIALIZED") == 2 + 5 + 5 + 4  # w, s1, p_i, m_i, s_2..5
+    assert "m5" in sql and "m6" not in sql
+    assert _bpe_oracle_sql().count("UNION ALL") == BPE_MERGES - 1
