@@ -91,6 +91,11 @@ HEADLINE = [
     # docstring), so the bar documents rather than hides it.
     "copurchase_pairs",
     "triangle_count_parts",
+    # r5 additions: interval sweep, one-pass multi-distinct profile,
+    # anti-join erasure rewrite
+    "concurrent_sessions_peak",
+    "table_profile_audit",
+    "user_erasure_compact",
 ]
 
 

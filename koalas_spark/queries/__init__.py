@@ -70,6 +70,7 @@ def _load() -> None:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         corpus,
         graphq,
         layout,

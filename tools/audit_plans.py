@@ -50,6 +50,11 @@ EXPECTED = {
     "bm25_topk": {"BroadcastNestedLoopJoin"},
     # 1-row node-count frame cross-joined onto the 25-row nation frame
     "pagerank_nations": {"BroadcastNestedLoopJoin"},
+    # 10-row centroid frames self-joined on label < label (non-equi
+    # upper triangle) — k x k tiny by construction
+    "centroid_similarity_matrix": {"BroadcastNestedLoopJoin"},
+    # 1-row median-threshold frame cross-joined onto the RFM table
+    "rfm_segmentation": {"BroadcastNestedLoopJoin"},
     # two 1-row frames (edge count × triangle count) cross-joined
     "triangle_count_parts": {"BroadcastNestedLoopJoin"},
     # 1-row viewer-count frame cross-joined onto the 1-row stats frame
