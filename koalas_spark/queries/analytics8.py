@@ -741,3 +741,128 @@ def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_confident"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 194. incremental aggregate merge — the incremental-view-maintenance
+# core: yesterday's aggregate STATE (partial sums, persisted as
+# parquet) merges with today's delta aggregate by re-aggregating the
+# union of partials — sum-of-sums and sum-of-counts are mergeable, so
+# the history fact rows are NEVER rescanned (here the state build is
+# cached once per source mtime; each run scans only the delta slice).
+# Decimal partials keep the merge order-independent; the oracle is the
+# full recompute, so the match IS the IVM correctness proof.
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('value')} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.stat(src).st_mtime_ns}"
+    state = os.path.join("/root/repo/.tmp", f"ivm_state_{tag}")
+    cut = "2024-01-24"
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+
+    def partials(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("pn"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("psum"),
+        )
+
+    if not os.path.exists(os.path.join(state, "_SUCCESS")):
+        partials(ev.filter(F.col("day") < cut)).write.mode("overwrite").parquet(state)
+
+    delta = partials(ev.filter(F.col("day") >= cut))
+    merged = (
+        spark.read.parquet(state)
+        .unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("psum").cast("string").cast("double").alias("sum_value"),
+        )
+    )
+    return merged
+
+
+# --------------------------------------------------------------------
+# 195. sketch overlap retention — day-over-day returning users from
+# MERGEABLE sketches: per-day HLL sketches union pairwise and the
+# intersection falls out by inclusion-exclusion (|A∩B| = |A| + |B| −
+# |A∪B|) — no re-scan of the raw stream once the daily sketches
+# exist, which is the entire point at 100 TB (the exact self-join
+# recomputed here is the oracle's job, not the deployment path).
+# Differencing compounds HLL error, so the checked tolerance is 10%
+# (lgK=14, ~0.8% per estimate) — deterministic for a fixed dataset
+# because the sketches themselves are deterministic.
+@query(
+    "sketch_overlap_retention",
+    oracle="""
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+d1 AS (SELECT day, COUNT(*) AS exact_users FROM du GROUP BY day),
+ret AS (
+  SELECT a.day, COUNT(*) AS exact_returning
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+  GROUP BY a.day)
+SELECT d1.day, CAST(d1.exact_users AS BIGINT) AS exact_users,
+       CAST(COALESCE(ret.exact_returning, 0) AS BIGINT) AS exact_returning,
+       TRUE AS sketch_within_10pct
+FROM d1 LEFT JOIN ret ON ret.day = d1.day
+WHERE EXISTS (SELECT 1 FROM d1 n WHERE n.day = d1.day + 1)
+""",
+)
+def sketch_overlap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    du = ev.distinct()
+    daily = du.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_users"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.date_add(F.col("a.day"), 1) == F.col("b.day")).select(
+        F.col("a.day").alias("day"),
+        F.col("a.exact_users").alias("exact_users"),
+        F.expr("hll_sketch_estimate(a.sk)").alias("e1"),
+        F.expr("hll_sketch_estimate(b.sk)").alias("e2"),
+        F.expr(
+            "hll_sketch_estimate(hll_union(a.sk, b.sk, false))"
+        ).alias("eu"),
+    )
+    exact_ret = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.date_add(F.col("x.day"), 1) == F.col("y.day")),
+        )
+        .groupBy(F.col("x.day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_returning"))
+    )
+    est_inter = F.col("e1") + F.col("e2") - F.col("eu")
+    return (
+        pairs.join(exact_ret, "day", "left")
+        .na.fill({"exact_returning": 0})
+        .select(
+            "day",
+            "exact_users",
+            "exact_returning",
+            (
+                F.abs(est_inter - F.col("exact_returning"))
+                <= 0.10 * F.greatest(F.col("exact_returning"), F.lit(1))
+            ).alias("sketch_within_10pct"),
+        )
+    )
