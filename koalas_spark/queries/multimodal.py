@@ -319,6 +319,38 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 196. REAL compressed codec #2: GIF87a — variable-width LSB-first LZW
+# (the patent-famous algorithm), grayscale global color table,
+# sub-block-framed code stream, implemented from the public format
+# spec (operators/multimodal.py encode_gif/decode_gif, incl. the
+# decoder's one-entry-behind width-growth rule and the 4096-entry
+# CLEAR reset). Same lossless proof as the PNG roundtrip: the decoded
+# pixels' sha must equal the raw raster sha the oracle computes
+# straight from the text bytes.
+@query(
+    "multimodal_gif_roundtrip",
+    oracle="""
+SELECT doc_id, TRUE AS gif_ok,
+       sha256(substring(text, 1, 256)) AS pixel_sha
+FROM documents WHERE octet_length(encode(text)) >= 256
+""",
+)
+def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import gif_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    rast = docs.select(
+        "doc_id",
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256).alias("raster"),
+    )
+    out = gif_roundtrip(rast, "doc_id", w=16, h=16)
+    return out.select(
+        "doc_id",
+        (F.col("gif_bytes") > 0).alias("gif_ok"),
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )
+
+
 # 165. REAL audio resample: the 400-byte PCM16 WAV (same constant
 # header as #139) is decoded, decimated x2 (drop-sample), and
 # re-encoded as a valid 8 kHz WAV whose FULL file bytes are sha'd

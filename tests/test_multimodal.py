@@ -567,3 +567,33 @@ def test_documents_are_ascii_for_ahash_oracle(spark):
         F.octet_length("text") != F.length("text")
     ).count()
     assert n_multibyte == 0
+
+
+def test_gif_codec_roundtrip_and_structure():
+    """encode_gif emits a structurally valid GIF87a (header, LSD
+    dimensions, 256-entry GCT, sub-block framing, trailer) and
+    decode_gif recovers every pixel, including images that force LZW
+    code-width growth and the 4096-entry table reset."""
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    gif = encode_gif(img)
+    assert gif[:6] == b"GIF87a"
+    assert int.from_bytes(gif[6:8], "little") == 16
+    assert int.from_bytes(gif[8:10], "little") == 16
+    assert gif[10] & 0x80 and (2 << (gif[10] & 7)) == 256
+    assert gif[-1] == 0x3B
+    assert (decode_gif(gif) == img).all()
+    # width-growth + CLEAR-reset path: >4096 dictionary entries
+    big = rng.randint(0, 256, (200, 200), dtype=np.uint8)
+    assert (decode_gif(encode_gif(big)) == big).all()
+    # malformed-media paths
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with _pytest.raises(ValueError):
+        decode_gif(gif[:40])

@@ -32,6 +32,8 @@ EXPECTED = {
     "neardup_embedding_cells": {"BroadcastNestedLoopJoin"},
     # real PNG encode/decode (stdlib zlib) runs in mapInPandas
     "multimodal_png_roundtrip": {"Python"},
+    # real GIF87a LZW encode/decode runs in mapInPandas
+    "multimodal_gif_roundtrip": {"Python"},
     # real WAV decode -> decimate -> re-encode runs in mapInPandas
     "multimodal_audio_resample": {"Python"},
     "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
