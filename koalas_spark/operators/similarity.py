@@ -501,3 +501,133 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "adist", "rk")
     )
+
+
+def rq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    codebook_src: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shrink: float = 0.25,
+) -> DataFrame:
+    """Residual-quantization ANN (2-level additive codes) — the third
+    compression family after int8 and PQ, and the one modern vector
+    stores deploy for high recall at small code size: level 1 encodes
+    the vector against a full-dimension codebook, level 2 encodes the
+    RESIDUAL against a second codebook, and the reconstruction is the
+    SUM of the two codewords (2 bytes/vector here).
+
+    Asymmetric scoring uses the additive expansion
+        ||p - a - b||^2 = ||p - a||^2 + (||b||^2 - 2<p,b>) + 2<a,b>
+    so a probe needs three table lookups: t1 (16 rows/probe), t2 (16
+    rows/probe), and the probe-INDEPENDENT cross table X (16x16 = 256
+    rows, built once) — no corpus vector is touched at query time.
+
+    Codebook convention matches pq_topk/ivf_topk ("trained centroids"
+    = the deterministic codebook_src rows); the level-2 codebook is
+    the same rows shrunk by 0.25 — an EXACT power-of-two scale, so
+    both engines derive identical doubles. Every distance rounds to 6
+    decimals before argmin/rank; ties break to the smaller codebook
+    id, making codes and ranking oracle-exact. Plan shape: two
+    broadcast(16-row) encode passes over the corpus (only ids + 2
+    codes ever shuffle), three broadcast-hash lookup joins to score.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def l2r(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cb1 = codebook_src.select(F.col(id_col).alias("j"), v.alias("a"))
+    cb2 = codebook_src.select(
+        F.col(id_col).alias("kk"),
+        F.transform(v, lambda x: x * shrink).alias("b"),
+    )
+
+    def argmin(df, key_cols, d, idc):
+        return df.groupBy(*key_cols).agg(
+            F.min(F.struct(d.alias("d"), F.col(idc).cast("double").alias("i")))
+            .getField("i")
+            .cast("bigint")
+            .alias("_code")
+        )
+
+    vecs = corpus.select(F.col(id_col).alias("vid"), v.alias("v"))
+    enc1 = argmin(
+        vecs.crossJoin(F.broadcast(cb1)).select(
+            "vid", "j", l2r(F.col("v"), F.col("a")).alias("d")
+        ),
+        ["vid"],
+        F.col("d"),
+        "j",
+    ).withColumnRenamed("_code", "code1")
+    res = (
+        vecs.join(enc1, "vid")
+        .join(F.broadcast(cb1), F.col("code1") == F.col("j"))
+        .select("vid", "code1", F.zip_with("v", "a", lambda x, y: x - y).alias("r"))
+    )
+    enc2 = argmin(
+        res.crossJoin(F.broadcast(cb2)).select(
+            "vid", "code1", "kk", l2r(F.col("r"), F.col("b")).alias("d")
+        ),
+        ["vid", "code1"],
+        F.col("d"),
+        "kk",
+    ).withColumnRenamed("_code", "code2")
+
+    pv = probes.select(F.col(id_col).alias("probe_id"), v.alias("p"))
+    t1 = pv.crossJoin(F.broadcast(cb1)).select(
+        "probe_id", "j", l2r(F.col("p"), F.col("a")).alias("t1")
+    )
+    t2 = pv.crossJoin(F.broadcast(cb2)).select(
+        "probe_id",
+        "kk",
+        F.round(
+            dot(F.col("b"), F.col("b")) - 2 * dot(F.col("p"), F.col("b")), 6
+        ).alias("t2"),
+    )
+    xt = cb1.crossJoin(F.broadcast(cb2)).select(
+        F.col("j").alias("xj"),
+        F.col("kk").alias("xk"),
+        F.round(2 * dot(F.col("a"), F.col("b")), 6).alias("x"),
+    )
+    scored = (
+        enc2.join(F.broadcast(t1), F.col("code1") == F.col("j"))
+        .join(
+            F.broadcast(t2.withColumnRenamed("probe_id", "_pb2")),
+            (F.col("probe_id") == F.col("_pb2")) & (F.col("code2") == F.col("kk")),
+        )
+        .join(
+            F.broadcast(xt),
+            (F.col("code1") == F.col("xj")) & (F.col("code2") == F.col("xk")),
+        )
+        .filter(F.col("vid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(F.col("t1") + F.col("t2") + F.col("x"), 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "adist", "rk")
+    )

@@ -866,3 +866,46 @@ def sketch_overlap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_10pct"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 198. repurchase interval stats — inter-purchase time, the retention
+# metric behind "when do customers come back": one LAG over the
+# (custkey) partitioning (cardinality grows with data — bounded
+# partitions), integer day gaps, then exact interpolated percentiles
+# over the gap population (a single-row aggregate; percentile() ==
+# quantile_cont across engines, same contract as percentile_stats).
+@query(
+    "repurchase_interval_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT DATE_DIFF('day',
+                   CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderdate, o_orderkey)
+                        AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders)
+SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_days, 0.5) AS p50_days,
+       quantile_cont(gap_days, 0.9) AS p90_days,
+       CAST(MAX(gap_days) AS INT) AS max_days
+FROM gaps
+""",
+)
+def repurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate")).over(w).cast("date"),
+    )
+    return (
+        o.select(gap.alias("gap_days"))
+        .filter(F.col("gap_days").isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.expr("percentile(gap_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(gap_days, 0.9)").alias("p90_days"),
+            F.max("gap_days").cast("int").alias("max_days"),
+        )
+    )

@@ -237,3 +237,73 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 16)
     probes = emb.filter(F.col("vec_id") < 5)
     return ivf_pq_topk(emb, probes, cents, "vec_id", "embedding", k=5, nprobe=2)
+
+
+def _rq_l2r64(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_sum(list_transform(range(1, 65), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))), 6)"
+    )
+
+
+# 197. residual-quantization ANN — 2-level additive codes (the third
+# compression family after int8/PQ; what modern vector stores deploy
+# for high recall at 2 B/vector). Scoring uses the additive expansion
+# ||p−a−b||² = ||p−a||² + (||b||²−2⟨p,b⟩) + 2⟨a,b⟩: two per-probe
+# 16-row tables plus one probe-independent 256-row cross table — no
+# corpus vector is touched at query time. The level-2 codebook is the
+# level-1 rows shrunk by 0.25 (an exact power-of-two scale), and all
+# distances round to 6 decimals before argmin/rank, so the oracle
+# reproduces both code levels and the full ranking exactly.
+@query(
+    "ann_rq_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cb1 AS (SELECT vec_id AS j, e AS a FROM v WHERE vec_id < 16),
+cb2 AS (SELECT vec_id AS kk, list_transform(e, x -> x * 0.25) AS b
+        FROM v WHERE vec_id < 16),
+enc1 AS (
+  SELECT v.vec_id AS vid,
+         CAST(MIN([{_rq_l2r64('v.e', 'c.a')}, CAST(c.j AS DOUBLE)])[2] AS BIGINT)
+           AS code1
+  FROM v CROSS JOIN cb1 c GROUP BY v.vec_id),
+res AS (
+  SELECT enc1.vid, enc1.code1,
+         list_transform(range(1, 65), i -> v.e[i] - c.a[i]) AS r
+  FROM enc1 JOIN v ON v.vec_id = enc1.vid JOIN cb1 c ON c.j = enc1.code1),
+enc2 AS (
+  SELECT res.vid, res.code1,
+         CAST(MIN([{_rq_l2r64('res.r', 'c2.b')}, CAST(c2.kk AS DOUBLE)])[2] AS BIGINT)
+           AS code2
+  FROM res CROSS JOIN cb2 c2 GROUP BY res.vid, res.code1),
+t1 AS (SELECT p.vec_id AS probe_id, c.j, {_rq_l2r64('p.e', 'c.a')} AS t1
+       FROM v p CROSS JOIN cb1 c WHERE p.vec_id < 5),
+t2 AS (SELECT p.vec_id AS probe_id, c2.kk,
+              ROUND(list_dot_product(c2.b, c2.b)
+                    - 2 * list_dot_product(p.e, c2.b), 6) AS t2
+       FROM v p CROSS JOIN cb2 c2 WHERE p.vec_id < 5),
+x AS (SELECT c.j AS xj, c2.kk AS xk,
+             ROUND(2 * list_dot_product(c.a, c2.b), 6) AS x
+      FROM cb1 c CROSS JOIN cb2 c2),
+scored AS (
+  SELECT t1.probe_id, enc2.vid AS neighbor_id,
+         ROUND(t1.t1 + t2.t2 + x.x, 6) AS adist
+  FROM enc2
+  JOIN t1 ON t1.j = enc2.code1
+  JOIN t2 ON t2.probe_id = t1.probe_id AND t2.kk = enc2.code2
+  JOIN x ON x.xj = enc2.code1 AND x.xk = enc2.code2
+  WHERE enc2.vid != t1.probe_id)
+SELECT probe_id, neighbor_id, adist, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY adist ASC, neighbor_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= 5
+""",
+)
+def ann_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.similarity import rq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook_src = emb.filter(F.col("vec_id") < 16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return rq_topk(emb, probes, codebook_src, "vec_id", "embedding", k=5)

@@ -83,3 +83,46 @@ def test_pq_topk_recall_vs_exact(spark):
     approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5
+
+
+def test_rq_level2_code_is_the_argmin(spark):
+    """Sanity for the residual layer: the chosen level-2 codeword must
+    be the best available — reconstruction error <= the error of EVERY
+    other level-2 choice. (It is NOT always <= the level-1-only error:
+    a codebook vector has residual zero, and this convention's shrunk
+    codebook contains no zero codeword, so encoding the residual can
+    only overshoot there — a real property of additive quantizers
+    whose codebooks lack a null entry.)"""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cb1 = {j: vecs[j] for j in vecs if j < 16}
+    cb2 = {j: vecs[j] * 0.25 for j in vecs if j < 16}
+
+    from koalas_spark.operators.similarity import rq_topk
+
+    out = rq_topk(
+        emb,
+        emb.filter("vec_id < 5"),
+        emb.filter("vec_id < 16"),
+        "vec_id",
+        "embedding",
+        k=5,
+    ).collect()
+    assert {r.probe_id for r in out} == {0, 1, 2, 3, 4}
+    for r in out:
+        assert r.neighbor_id != r.probe_id
+        assert r.adist >= -1e-6  # squared distance, up to rounding
+
+    # recompute the two-level encode for a few vectors and check the
+    # argmin property numerically
+    for vid in list(vecs)[:20]:
+        v = vecs[vid]
+        c1 = min(cb1, key=lambda j: (round(((v - cb1[j]) ** 2).sum(), 6), j))
+        r1 = v - cb1[c1]
+        c2 = min(cb2, key=lambda j: (round(((r1 - cb2[j]) ** 2).sum(), 6), j))
+        e2 = ((v - cb1[c1] - cb2[c2]) ** 2).sum()
+        for j in cb2:
+            assert e2 <= ((r1 - cb2[j]) ** 2).sum() + 1e-6

@@ -57,6 +57,9 @@ EXPECTED = {
     "centroid_similarity_matrix": {"BroadcastNestedLoopJoin"},
     # 1-row median-threshold frame cross-joined onto the RFM table
     "rfm_segmentation": {"BroadcastNestedLoopJoin"},
+    # 16-row codebook frames cross-joined for the two encode passes
+    # and the 256-row cross table — all bounded by construction
+    "ann_rq_topk": {"BroadcastNestedLoopJoin"},
     # two 1-row frames (edge count × triangle count) cross-joined
     "triangle_count_parts": {"BroadcastNestedLoopJoin"},
     # 1-row viewer-count frame cross-joined onto the 1-row stats frame
