@@ -631,3 +631,122 @@ def rq_topk(
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "adist", "rk")
     )
+
+
+def nn_descent(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 4,
+) -> DataFrame:
+    """NN-Descent k-NN graph construction (Dong et al., WWW'11) — the
+    iterative refinement behind graph-based ANN indexes (NSW/HNSW
+    family): start from cheap hash-bucket neighbors, then repeatedly
+    propose NEIGHBORS-OF-NEIGHBORS (a friend of a friend is likely a
+    friend, the paper's core observation) and keep the best k per
+    node.
+
+    Everything is hash-deterministic (xxhash64 buckets, rounded-6
+    cosine, (cos DESC, dst ASC) tie-break), so the graph is
+    reproducible across runs and partitionings — but the permutation
+    family is engine-specific, so the query registers rows-only; the
+    recall guarantees are unit-tested against the exact brute-force
+    neighbors instead (tests/test_similarity.py).
+
+    Scale shape per iteration: ONE self-join of the k-edge list on the
+    shared node (fan-out <= k^2 per node, bounded by construction),
+    one distinct, two id-equi joins to fetch the candidate endpoints'
+    vectors, and a WindowGroupLimit top-k per node over a key whose
+    cardinality grows with the data. The vector table shuffles on id
+    only; no global state, no driver collect; the edge frame is
+    checkpointed per iteration so lineage depth stays 1.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vec = vectors.select(
+        F.col(id_col).alias("vid"), v.alias("v")
+    ).withColumn("n2", dot(F.col("v"), F.col("v")))
+    vec = vec.filter(F.col("n2") > 0).localCheckpoint(eager=False)
+
+    # init: union of THREE independently salted hash bucketings (each
+    # bucket ~k/2 members). A single bucketing would hand every node a
+    # CLIQUE — its neighbors' neighbors are all inside the same bucket,
+    # so the refinement rounds could never escape it; multiple salts
+    # make co-membership differ per salt, which is the deterministic
+    # analogue of the paper's random-neighbor init and gives the
+    # neighbor-of-neighbor walk cross-bucket reach.
+    tgt = max(k // 2, 2)
+    n_frame = vec.agg(
+        F.greatest(
+            (F.count(F.lit(1)) / tgt).cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("nb")
+    )
+    ids = vec.select("vid").crossJoin(F.broadcast(n_frame))
+    per_salt = []
+    for salt in range(3):
+        bucketed = ids.select(
+            "vid", F.pmod(F.xxhash64("vid", F.lit(salt)), F.col("nb")).alias("bk")
+        )
+        per_salt.append(
+            bucketed.alias("a")
+            .join(bucketed.alias("b"), F.col("a.bk") == F.col("b.bk"))
+            .filter(F.col("a.vid") != F.col("b.vid"))
+            .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+        )
+    cand = per_salt[0].unionByName(per_salt[1]).unionByName(per_salt[2]).distinct()
+
+    def top_k(cands: DataFrame) -> DataFrame:
+        scored = (
+            cands.join(
+                vec.select(F.col("vid").alias("src"), F.col("v").alias("sv"),
+                           F.col("n2").alias("sn")),
+                "src",
+            )
+            .join(
+                vec.select(F.col("vid").alias("dst"), F.col("v").alias("dv"),
+                           F.col("n2").alias("dn")),
+                "dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    dot(F.col("sv"), F.col("dv"))
+                    / F.sqrt(F.col("sn") * F.col("dn")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("src", "dst", "cos_sim", "rk")
+        )
+
+    edges = top_k(cand).localCheckpoint(eager=False)
+    for _ in range(iters):
+        e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        non = (
+            e1.alias("p")
+            .join(e1.alias("q"), F.col("p.y") == F.col("q.x"))
+            .select(F.col("p.x").alias("src"), F.col("q.y").alias("dst"))
+        )
+        rev = e1.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        cands = (
+            edges.select("src", "dst")
+            .unionByName(rev)
+            .unionByName(non)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        edges = top_k(cands).localCheckpoint(eager=False)
+    return edges
