@@ -909,3 +909,92 @@ def repurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_days").cast("int").alias("max_days"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 200. order-independent table checksum — the data-integrity primitive
+# for replication / migration / snapshot verification at scale: md5
+# each row's canonical rendering, fold 60 bits of it with BIT-XOR (a
+# commutative, associative aggregate, so the checksum is independent
+# of partitioning, ordering, AND merge tree — partial checksums from
+# shards XOR together, the mergeability every distributed diff tool
+# relies on). One codegen map + one 1-row aggregate; md5 hex is
+# identical in both engines, CONV/from-hex both exact at 15 hex
+# digits (< 2^60).
+@query(
+    "table_checksum_xor",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(CAST(('0x' || substr(
+           md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+               CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+               o_orderpriority), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_sig
+FROM orders
+""",
+)
+def table_checksum_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    sig = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(concat_ws('|', "
+            "cast(o_orderkey as string), cast(o_custkey as string), "
+            "o_orderstatus, cast(cast(o_totalprice as decimal(18,2)) as string), "
+            "cast(cast(o_orderdate as date) as string), o_orderpriority)), 1, 15), "
+            "16, 10) as bigint))"
+        ).alias("xor_sig"),
+    )
+
+
+# --------------------------------------------------------------------
+# 201. event path trigrams — sequence mining one order up from the
+# transition matrix (#179): the top-20 three-step behaviour paths via
+# two LEADs over the same (user, time) window (ONE shuffle serves
+# both), map-side-combined path counts, TakeOrdered top-20 with the
+# count/path tie pinned. Path support never materializes per-user
+# state — the |types|^3 path space aggregates map-side.
+@query(
+    "event_path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT a || '>' || b || '>' || c AS path,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY path
+ORDER BY support DESC, path
+LIMIT 20
+""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), "path")
+        .limit(20)
+    )
