@@ -435,7 +435,11 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # length_percentile_filter). Monetary sums go through decimal
 # summation so the threshold compare sees identical doubles in both
 # engines; percentile() (Spark) == quantile_cont (DuckDB), both exact
-# interpolated.
+# interpolated. Exact percentile buffers the per-customer population
+# in one aggregation state — fine to ~1e8 customers; past that swap
+# in approx_percentile (the mergeable-sketch path whose error bound
+# percentile_approx_check demonstrates) — exact is kept here for
+# oracle parity.
 @query(
     "rfm_segmentation",
     oracle="""
@@ -875,6 +879,9 @@ def sketch_overlap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitions), integer day gaps, then exact interpolated percentiles
 # over the gap population (a single-row aggregate; percentile() ==
 # quantile_cont across engines, same contract as percentile_stats).
+# The exact percentile buffers all gaps in one aggregation state —
+# the documented approx_percentile swap applies past ~1e8 gaps, as in
+# rfm_segmentation; exact is kept for oracle parity.
 @query(
     "repurchase_interval_stats",
     oracle="""
