@@ -92,10 +92,13 @@ HEADLINE = [
     "copurchase_pairs",
     "triangle_count_parts",
     # r5 additions: interval sweep, one-pass multi-distinct profile,
-    # anti-join erasure rewrite
+    # anti-join erasure rewrite, second compressed codec, residual
+    # quantization
     "concurrent_sessions_peak",
     "table_profile_audit",
     "user_erasure_compact",
+    "multimodal_gif_roundtrip",
+    "ann_rq_topk",
 ]
 
 

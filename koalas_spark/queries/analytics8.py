@@ -1,7 +1,12 @@
 """Round-5 additions (SURVEY.md §2.2/§2.8): event-stream hygiene
-(debounce, concurrency sweep, volume anomaly), data-quality profiling,
-centroid similarity, and two lakehouse maintenance operators
-(idempotent partition backfill, right-to-be-forgotten compaction).
+(debounce, interval-sweep concurrency, volume anomaly, path mining,
+LOCF repair), data-quality and privacy audits (table profile,
+XOR table checksum, k-anonymity), lakehouse maintenance (dynamic
+partition backfill, right-to-be-forgotten compaction, incremental
+aggregate merge, HLL overlap retention), and customer analytics
+(RFM segmentation, ship latency, SCD2 point-in-time join,
+repurchase intervals), plus centroid similarity and bigram-LM /
+langid-margin text scoring.
 
 Extends the reference surface (select/groupby over typed frames,
 reference source/koalas/dataframe.d:73-311, groupby.d:48-107) with the
@@ -1004,4 +1009,115 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .orderBy(F.desc("support"), "path")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# 202. LOCF imputation — last-observation-carried-forward, the
+# bread-and-butter time-series repair for sensor dropouts: values are
+# deterministically "lost" by an md5 coin (15% of rows — the planted
+# missingness makes the repair verifiable), then re-filled with
+# last_value(... IGNORE NULLS) over one (user, time) window — a
+# single shuffle on a key whose cardinality grows with the data.
+# Leading nulls (no prior observation) stay null, the honest
+# semantics; the per-type audit proves exactly the planted rows and
+# only they were touched.
+@query(
+    "locf_impute",
+    oracle="""
+WITH masked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '2667'
+              THEN NULL ELSE value END AS v
+  FROM events),
+filled AS (
+  SELECT event_type, v,
+         last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+  FROM masked)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(SUM(CASE WHEN v IS NULL AND v_filled IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(CAST(SUM(CAST(v_filled AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_filled
+FROM filled GROUP BY event_type
+""",
+)
+def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    coin = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    masked = ev.withColumn(
+        "v", F.when(coin < "2667", F.lit(None)).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = masked.select(
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sum(
+            F.when(F.col("v").isNull() & F.col("v_filled").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_filled"),
+        F.sum(F.col("v_filled").cast("decimal(25,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_filled"),
+    )
+
+
+# --------------------------------------------------------------------
+# 203. k-anonymity audit — the privacy-engineering gate before a
+# table leaves the fence: rows whose quasi-identifier combination
+# (order year x priority x status here) is shared by fewer than k=10
+# records are re-identifiable and must be suppressed or generalized.
+# One groupBy over the quasi-identifier space (map-side combined; the
+# QI grid is tiny regardless of corpus size) + a broadcast join back
+# to classify rows. Reports per-combination risk plus the global
+# suppression tally — the audit a DP/anonymization pipeline runs
+# every release.
+@query(
+    "k_anonymity_audit",
+    oracle="""
+WITH qi AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         o_orderpriority, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2, 3)
+SELECT o_year, o_orderpriority, o_orderstatus,
+       CAST(n AS BIGINT) AS group_size,
+       n < 10 AS reidentifiable
+FROM qi
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_year",
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("n").cast("bigint").alias("group_size"),
+            (F.col("n") < 10).alias("reidentifiable"),
+        )
     )
