@@ -75,3 +75,62 @@ def zordered_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
             num_files=16,
         )
     return path
+
+
+# --------------------------------------------------------------------
+# 204. Hilbert-clustered box scan — the locality upgrade over #121's
+# Morton order: Hilbert consecutive key values are always grid-
+# ADJACENT (Z-order jumps diagonals at quadrant seams), so file
+# bounding boxes come out tighter for the same file count — the
+# clustering Delta exposes for liquid tables. Same staging discipline
+# as zorder_box_scan; oracle = the same 2-D box predicate on the
+# original table, so results prove layout-invariance while the footer
+# statistics do the skipping (tests/test_layout.py measures the
+# skip-rate ordering hilbert <= linear alongside the Spark-vs-
+# reference-walk exactness of the key itself).
+@query(
+    "hilbert_box_scan",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS DECIMAL(25,6)) AS sum_qty
+FROM lineitem
+WHERE l_partkey BETWEEN 120 AND 180 AND l_suppkey BETWEEN 6 AND 9
+GROUP BY l_returnflag
+""",
+)
+def hilbert_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = hilbert_lineitem_path(spark, sf_dir)
+    li = spark.read.parquet(path)
+    return (
+        li.filter(
+            F.col("l_partkey").between(120, 180)
+            & F.col("l_suppkey").between(6, 9)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        )
+    )
+
+
+def hilbert_lineitem_path(spark: SparkSession, sf_dir: str) -> str:
+    """Stage lineitem Hilbert-clustered by (l_partkey, l_suppkey),
+    keyed by (sf dir, source mtime) — same idempotent staging contract
+    as zordered_lineitem_path."""
+    from koalas_spark.operators.layout import hilbert_write
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    mtime = int(os.stat(src).st_mtime)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{mtime}"
+    path = os.path.join("/root/repo/.tmp", f"hilbert_lineitem_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        hilbert_write(
+            _t(spark, sf_dir, "lineitem"),
+            ["l_partkey", "l_suppkey"],
+            path,
+            bits=12,
+            num_files=16,
+        )
+    return path

@@ -106,3 +106,66 @@ def test_zorder_skips_more_files_than_linear_sort(spark):
     zc = spark.read.parquet(zpath).filter(pred).count()
     lc = spark.read.parquet(lpath).filter(pred).count()
     assert zc == lc and zc > 0
+
+
+def test_hilbert_key_matches_reference_walk_and_is_bijective(spark):
+    """The codegen Hilbert key must equal the classical per-level
+    xy->d walk on the full 16x16 grid and enumerate it bijectively
+    (which implies the space-filling property)."""
+    from koalas_spark.operators.layout import hilbert_key_2d
+
+    bits = 4
+    n = 1 << bits
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    got = {(r.x, r.y): r._hilbert for r in hilbert_key_2d(df, ["x", "y"], bits=bits).collect()}
+
+    def xy2d(x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    assert all(got[(x, y)] == xy2d(x, y) for x in range(n) for y in range(n))
+    assert sorted(got.values()) == list(range(n * n))
+
+
+def test_hilbert_skips_more_files_than_linear_sort(spark):
+    """Same harness as the Z-order test: a second-dimension-only box
+    that a linear l_partkey sort cannot prune at all."""
+    from koalas_spark.operators.layout import hilbert_write
+
+    cols = ["l_partkey", "l_suppkey"]
+    li = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet")).select(
+        *cols, "l_quantity"
+    )
+    smn, smx = li.agg(F.min(cols[1]), F.max(cols[1])).first()
+    box = {cols[1]: (smn + (smx - smn) * 2 // 5, smn + (smx - smn) * 3 // 5)}
+
+    hpath = "/root/repo/.tmp/test_hilbert_layout"
+    lpath = "/root/repo/.tmp/test_linear_layout_h"
+    for p in (hpath, lpath):
+        shutil.rmtree(p, ignore_errors=True)
+    n_files = 16
+    hilbert_write(li, cols, hpath, bits=12, num_files=n_files)
+    li.repartitionByRange(n_files, cols[0]).sortWithinPartitions(
+        cols[0]
+    ).write.mode("overwrite").parquet(lpath)
+
+    h_hit = _overlapping(_file_bounds(hpath, cols), box)
+    l_hit = _overlapping(_file_bounds(lpath, cols), box)
+    assert len(h_hit) < len(l_hit), (len(h_hit), len(l_hit))
+    assert len(l_hit) >= n_files - 1
+
+    pred = F.col(cols[1]).between(*box[cols[1]])
+    hc = spark.read.parquet(hpath).filter(pred).count()
+    lc = spark.read.parquet(lpath).filter(pred).count()
+    assert hc == lc and hc > 0
