@@ -1121,3 +1121,49 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") < 10).alias("reidentifiable"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 205. SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr) — reusable
+# business logic declared ONCE in SQL and inlined by Catalyst at plan
+# time: the formatted plan of this query shows plain whole-stage
+# codegen over the scan, zero UDF call overhead (verified — the
+# function body fuses like a macro; contrast with a Python UDF, which
+# would drop the pipeline out of codegen entirely). Two functions:
+# the discounted-revenue expression every TPC-H query repeats, and a
+# quantity band classifier; the oracle expands both bodies inline,
+# which is exactly what Spark executed.
+@query(
+    "sql_udf_revenue_bands",
+    oracle=f"""
+SELECT CASE WHEN l_quantity < 10 THEN 'small'
+            WHEN l_quantity < 35 THEN 'mid'
+            ELSE 'large' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+GROUP BY band
+""",
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(price DOUBLE, disc DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1.0 - disc)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q < 10 THEN 'small' WHEN q < 35 THEN 'mid' "
+        "ELSE 'large' END"
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_udf_lineitem")
+    return spark.sql(
+        """
+        SELECT qty_band(l_quantity) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(disc_rev(l_extendedprice, l_discount)
+                                  AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+                 AS revenue
+        FROM _udf_lineitem
+        GROUP BY qty_band(l_quantity)
+        """
+    )
