@@ -195,3 +195,40 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_sliding_counts
 
     return stream_sliding_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# 206. streaming LOCF — the second custom stateful operator
+# (applyInPandasWithState): per-user last-observation state repairs
+# the same planted missingness as batch #202, and because ingestion
+# replays time-ordered, the result is EXACTLY the batch window's —
+# so this custom streaming operator shares the batch oracle (the
+# strongest check a stateful op can get; stream_stateful_sessions
+# stays rows-only because its open-session tail genuinely differs).
+@query(
+    "stream_locf_impute",
+    oracle="""
+WITH masked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '2667'
+              THEN NULL ELSE value END AS v
+  FROM events),
+filled AS (
+  SELECT event_type, v,
+         last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+  FROM masked)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(SUM(CASE WHEN v IS NULL AND v_filled IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(CAST(SUM(CAST(v_filled AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_filled
+FROM filled GROUP BY event_type
+""",
+)
+def stream_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.stateful import stream_locf
+
+    return stream_locf(spark, f"{sf_dir}/events.parquet")

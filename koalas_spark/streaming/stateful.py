@@ -122,3 +122,105 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return result
+
+
+LOCF_OUT_SCHEMA = "event_type string, was_masked boolean, v_filled double"
+LOCF_STATE_SCHEMA = "last_ts long, last_v double"
+
+
+def _locf_group(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Carry each user's last observation across micro-batches: rows
+    arrive (ts, event_id, event_type, v[, null]) — sort within the
+    batch, fill nulls from the running last value, persist the final
+    observation as the key's state. State is ONE (ts, value) pair per
+    user — the classic streaming enrichment-state shape, bounded by
+    key cardinality, not stream length."""
+    rows = [pdf for pdf in pdfs]
+    pdf = pd.concat(rows).sort_values(["ts", "event_id"])
+    last_v = state.get[1] if state.exists else None
+    filled = []
+    for v in pdf["v"]:
+        if pd.notna(v):
+            last_v = float(v)
+            filled.append(last_v)
+        else:
+            filled.append(last_v)  # None while no observation yet
+    if last_v is not None:
+        last_ts = int(pd.to_datetime(pdf["ts"].iloc[-1]).value // 1000)
+        state.update((last_ts, last_v))
+    yield pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].to_numpy(),
+            "was_masked": pd.isna(pdf["v"]).to_numpy(),
+            "v_filled": pd.array(filled, dtype="Float64"),
+        }
+    )
+
+
+def stream_locf(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming last-observation-carried-forward: the same planted
+    (md5-coin) missingness as the batch locf_impute query, repaired by
+    a custom stateful operator instead of a window — per-user state
+    carries the last observation across micro-batches, rows fill
+    in-batch in event order. With time-ordered ingestion (the bounded
+    replay here arrives as one ordered batch) the result is EXACTLY
+    the batch window's, so this stateful op shares the batch oracle —
+    the strongest check a custom streaming operator can get. The
+    emitted per-row frame aggregates batch-side into the audit."""
+    from pyspark.sql import functions as F
+
+    from koalas_spark.streaming.windows import _staged_events_stream
+
+    src = _staged_events_stream(spark, events_path, "locf")
+    coin = F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+    masked = src.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(coin < "2667", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    filled = masked.groupBy("user_id").applyInPandasWithState(
+        _locf_group,
+        outputStructType=LOCF_OUT_SCHEMA,
+        stateStructType=LOCF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"locf_{uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            filled.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.table(qname).persist()
+            rows.count()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("was_masked"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sum(
+            F.when(F.col("was_masked") & F.col("v_filled").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_filled"),
+        F.sum(F.col("v_filled").cast("decimal(25,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_filled"),
+    )

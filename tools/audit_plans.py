@@ -105,6 +105,7 @@ SKIP = {
     "stream_windowed_distinct_users",
     "stream_foreachbatch_sink",
     "stream_sliding_agg",
+    "stream_locf_impute",
 }
 
 
