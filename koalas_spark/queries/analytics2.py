@@ -260,12 +260,19 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to ONE Python worker, so the key must keep groups small — pick keys
 # whose cardinality grows with the data, never a 5-value enum (that
 # variant is grouped_zscore above, computed JVM-side). Oracle replays
-# the de-mean with a window AVG over the identical key.
+# the de-mean with a window AVG over the identical key. The oracle's
+# outer CAST(... AS BIGINT) is load-bearing: DuckDB's window
+# SUM(BIGINT) promotes to HUGEINT, which propagates through the whole
+# expression and materializes as float64 through Arrow/pandas — so a
+# hash over the materialized frame sees 123.0 vs Spark's 123 even when
+# every value matches (the r4/r5 driver-red mechanism). fetchall()
+# hides this because DuckDB hands HUGEINT back as Python int.
 @query(
     "grouped_demean_arrow",
     oracle="""
 SELECT o_orderkey, o_orderpriority, o_day,
-       CAST(SIGN(num) AS BIGINT) * ((2 * ABS(num) + n) // (2 * n)) AS demeaned_e4
+       CAST(CAST(SIGN(num) AS BIGINT) * ((2 * ABS(num) + n) // (2 * n))
+            AS BIGINT) AS demeaned_e4
 FROM (
   SELECT o_orderkey, o_orderpriority, o_day,
          (c * n - s) * 100 AS num, n

@@ -1,6 +1,10 @@
 """Fast oracle gate at sf0.001 — every registered query runs and, when
 it has an oracle, matches DuckDB exactly (the driver repeats this at
-sf0.01)."""
+sf0.01). The oracle side is materialized through Arrow and its type
+families must match the Spark schema's: DuckDB's silent
+HUGEINT/DOUBLE promotions hash differently at the driver even when
+every Python-level value matches (the grouped_demean_arrow r4/r5
+lesson), so a family mismatch fails here before it can fail there."""
 
 import duckdb
 import pytest
@@ -8,7 +12,7 @@ import pytest
 from tests.conftest import SF_SMOKE
 from koalas_spark.queries import all_oracles, all_queries
 from koalas_spark.sources.io import TPCH_TABLES
-from tools.check_oracle import _norm
+from tools.check_oracle import _norm, dtype_mismatches
 
 
 @pytest.fixture(scope="module")
@@ -30,11 +34,14 @@ def test_query_matches_oracle(spark, duck, name):
     if oracle is None:
         assert s_rows is not None  # rows-only: runs and returns a frame
         return
-    cur = duck.execute(oracle)
-    raw = [c[0] for c in cur.description]
+    tbl = duck.execute(oracle).arrow()
+    raw = list(tbl.schema.names)
     order = sorted(range(len(raw)), key=lambda i: raw[i])
     d_cols = [raw[i] for i in order]
-    d_rows = sorted(tuple(_norm(row[i]) for i in order) for row in cur.fetchall())
+    d_rows = sorted(
+        tuple(_norm(row[raw[i]]) for i in order) for row in tbl.to_pylist()
+    )
     assert s_cols == d_cols
+    assert dtype_mismatches(sdf.schema, tbl.schema) == []
     assert len(s_rows) == len(d_rows)
     assert s_rows == d_rows

@@ -1,10 +1,23 @@
 """Local replica of the driver's correctness gate.
 
 Runs every queries() entry on Spark and its oracle_sql() twin on
-DuckDB at the given sf dir, compares row count, column names, and
-order-insensitive values. Usage:
+DuckDB at the given sf dir, compares row count, column names,
+order-insensitive values, AND materialized dtype families. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Why dtype families: the driver hashes the oracle result after
+materializing it (Arrow/pandas path), not from DuckDB's Python
+``fetchall()`` values. DuckDB quietly promotes window SUM(BIGINT) to
+HUGEINT and ``x // y`` keeps that width; ``fetchall()`` hands HUGEINT
+back as Python int (so a value-only compare passes) but Arrow exports
+it as decimal128 and pandas renders it float64 — the driver's hash
+then sees ``123.0`` against Spark's ``123`` and fails even though
+every value matches. That exact mechanism kept ``grouped_demean_arrow``
+red for two rounds. This tool therefore materializes the oracle
+through ``.arrow()`` and fails any column whose Arrow type family
+differs from the Spark result's schema family, so local green implies
+driver green.
 """
 
 from __future__ import annotations
@@ -16,6 +29,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pyarrow as pa
+from pyspark.sql import types as T
 
 from koalas_spark import get_spark
 from koalas_spark.queries import all_oracles, all_queries
@@ -37,10 +52,75 @@ def _norm(v):
     return str(v)
 
 
-def compare(sf_dir: str, names: list[str] | None = None) -> int:
+def _spark_family(dt) -> str:
+    """Coarse type family of a Spark DataType, aligned with _arrow_family."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_family(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return "other"
+
+
+def _arrow_family(t: pa.DataType) -> str:
+    """Coarse type family of an Arrow type (DuckDB .arrow() output).
+
+    DuckDB HUGEINT surfaces here as decimal128(38,0) — which is the
+    tell for an oracle whose integer math silently widened past int64.
+    """
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    return "other"
+
+
+def dtype_mismatches(spark_schema: T.StructType, arrow_schema: pa.Schema) -> list[str]:
+    """Columns whose materialized type family differs between engines."""
+    s = {f.name: _spark_family(f.dataType) for f in spark_schema.fields}
+    out = []
+    for field in arrow_schema:
+        sf = s.get(field.name)
+        af = _arrow_family(field.type)
+        if sf is not None and sf != af:
+            out.append(f"{field.name}: spark={sf} oracle={af}")
+    return out
+
+
+def connect_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
-    spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TPCH_TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -49,6 +129,12 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def compare(sf_dir: str, names: list[str] | None = None) -> int:
+    spark = get_spark("check_oracle")
+    con = connect_duck(sf_dir)
 
     queries, oracles = all_queries(), all_oracles()
     names = names or sorted(queries)
@@ -62,14 +148,20 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
             if name not in oracles:
                 print(f"  {name}: rows-only {len(s_rows)} rows [{time.time()-t0:.1f}s]")
                 continue
-            cur = con.execute(oracles[name])
-            raw_cols = [c[0] for c in cur.description]
+            # .arrow(), not .fetchall(): the driver reads the oracle
+            # through a materialized (dtype-bearing) path, so we must too.
+            tbl = con.execute(oracles[name]).arrow()
+            raw_cols = list(tbl.schema.names)
             order = sorted(range(len(raw_cols)), key=lambda i: raw_cols[i])
             d_cols = [raw_cols[i] for i in order]
-            d_rows = [tuple(_norm(row[i]) for i in order) for row in cur.fetchall()]
+            pyrows = tbl.to_pylist()
+            d_rows = [tuple(_norm(row[raw_cols[i]]) for i in order) for row in pyrows]
+            mism = dtype_mismatches(sdf.schema, tbl.schema)
             status, detail = "OK", ""
             if s_cols != d_cols:
                 status, detail = "SCHEMA-MISMATCH", f"spark={s_cols} duck={d_cols}"
+            elif mism:
+                status, detail = "DTYPE-MISMATCH", "; ".join(mism)
             elif len(s_rows) != len(d_rows):
                 status, detail = "COUNT-MISMATCH", f"spark={len(s_rows)} duck={len(d_rows)}"
             elif sorted(s_rows) != sorted(d_rows):
