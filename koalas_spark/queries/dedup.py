@@ -143,32 +143,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 41. embedding near-dup — cosine >= 0.35 within label blocks,
-# double-precision index-order arithmetic on both engines.
-# SCALE NOTE: exact all-pairs inside a label block is quadratic in
-# the block, and blocks grow with the corpus — the sf1 run measured
-# 40x cost at 10x data. This stays as the exact correctness baseline;
-# the production path is #158 neardup_embedding_cells (coarse-
-# quantizer partitioning, SemDeDup shape), whose approximation is
-# itself oracle-checked.
-@query(
-    "neardup_embedding",
-    oracle="""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-             / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
-                    * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-            / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
-                   * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) >= 0.35
-""",
-)
-def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Largest all-pairs block #41 will attempt exactly. 20k rows/block is
+# ~2e8 candidate pairs per block — the edge of tolerable for one
+# executor-side self-join partition family; beyond it the exact plan's
+# Σ_label n² cost is a scale-killer (sf1 measured 40x at 10x data), so
+# the operator falls back to the cell-partitioned generator (#158
+# shape) instead of attempting the quadratic join. Same
+# bounded-dispatch idea as operators/graph.py's driver_edge_limit.
+NEARDUP_BLOCK_LIMIT = 20_000
+
+
+def _neardup_embedding_exact(emb: DataFrame) -> DataFrame:
+    """Exact all-pairs cosine >= 0.35 within label blocks."""
     from koalas_spark.functions.vectorfn import dot, norm_sq
 
-    emb = _t(spark, sf_dir, "embeddings")
     # cast + norm once per row, BEFORE the pair join — the join then
     # pays only the dot product per pair
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -187,6 +175,56 @@ def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+def neardup_embedding_gated(
+    spark: SparkSession, sf_dir: str, block_limit: int = NEARDUP_BLOCK_LIMIT
+) -> DataFrame:
+    """#41 with the quadratic stage size-gated.
+
+    One cheap aggregate (per-label counts -> max, a handful of rows)
+    decides the plan: exact all-pairs while every label block fits
+    under ``block_limit``; the cell-partitioned #158 generator (exact
+    within (label, cell), cross-cell pairs dropped by design — itself
+    oracle-checked) once any block would make the self-join quadratic
+    in corpus size. At oracle SFs blocks are far below the limit, so
+    the checked path is always the exact one."""
+    emb = _t(spark, sf_dir, "embeddings")
+    max_block = (
+        emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c")).first()[0]
+        or 0
+    )
+    if max_block > block_limit:
+        return neardup_embedding_cells(spark, sf_dir).select(
+            "vec_a", "vec_b", "cos_sim"
+        )
+    return _neardup_embedding_exact(emb)
+
+
+# 41. embedding near-dup — cosine >= 0.35 within label blocks,
+# double-precision index-order arithmetic on both engines.
+# SCALE NOTE: exact all-pairs inside a label block is quadratic in
+# the block, and blocks grow with the corpus — the sf1 run measured
+# 40x cost at 10x data. Since r7 the quadratic stage is SIZE-GATED
+# (neardup_embedding_gated above): blocks past NEARDUP_BLOCK_LIMIT
+# switch to the cell-partitioned #158 generator, so no registered
+# operator carries an ungated corpus-quadratic stage.
+@query(
+    "neardup_embedding",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                    * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                   * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) >= 0.35
+""",
+)
+def neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_embedding_gated(spark, sf_dir)
 
 
 # 128. SemDeDup-style embedding cluster canonicalization — cosine

@@ -70,7 +70,7 @@ r0 AS (SELECT n_nationkey AS node, {_SCALE} // n.n AS r
 {_iter_sql("r0", "r1")},
 {_iter_sql("r1", "r2")},
 {_iter_sql("r2", "r3")}
-SELECT nn.n_name AS nation, r3.r AS rank_scaled
+SELECT nn.n_name AS nation, CAST(r3.r AS BIGINT) AS rank_scaled
 FROM r3 JOIN nation nn ON r3.node = nn.n_nationkey
 """,
 )

@@ -206,7 +206,7 @@ s AS (
   FROM fr)
 SELECT doc_id, frame_no,
        ROUND(SQRT(CAST(sumsq AS DOUBLE) / 100), 6) AS rms,
-       0.0 AS zcr,
+       CAST(0.0 AS DOUBLE) AS zcr,
        'audio/wav' AS kind
 FROM s
 """,

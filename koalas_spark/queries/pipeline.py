@@ -860,7 +860,7 @@ SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
        CAST(SUM(n_masked) AS BIGINT) AS sum_masked,
-       (SUM(n_masked) * 10000) // SUM(n_tok) AS masked_bp
+       CAST((SUM(n_masked) * 10000) // SUM(n_tok) AS BIGINT) AS masked_bp
 FROM m GROUP BY source
 """,
 )

@@ -91,7 +91,7 @@ scored AS (
           JOIN dl ON dl.doc_id = tf.doc_id
           CROSS JOIN st
   GROUP BY q.query_id, tf.doc_id)
-SELECT query_id, doc_id, score, rk FROM (
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY score DESC, doc_id ASC) AS rk
   FROM scored) t
@@ -215,7 +215,7 @@ uni AS (
   SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY w),
 n AS (SELECT SUM(c) AS n FROM uni)
 SELECT w1, w2, c_xy,
-       (c_xy * n.n * 1000000) // (u1.c * u2.c) AS pmi_scaled
+       CAST((c_xy * n.n * 1000000) // (u1.c * u2.c) AS BIGINT) AS pmi_scaled
 FROM big JOIN uni u1 ON big.w1 = u1.w
          JOIN uni u2 ON big.w2 = u2.w
          CROSS JOIN n
@@ -283,7 +283,7 @@ WITH d AS (
 SELECT lang,
        CAST(SUM(n_ws) AS BIGINT) AS sum_words,
        CAST(SUM(n_bpe) AS BIGINT) AS sum_pieces,
-       (SUM(n_bpe) * 1000000) // SUM(n_ws) AS fertility_ppm
+       CAST((SUM(n_bpe) * 1000000) // SUM(n_ws) AS BIGINT) AS fertility_ppm
 FROM d GROUP BY lang
 """,
 )

@@ -241,3 +241,36 @@ def test_bpe_oracle_sql_generation():
     assert sql.count("AS MATERIALIZED") == 2 + 5 + 5 + 4  # w, s1, p_i, m_i, s_2..5
     assert "m5" in sql and "m6" not in sql
     assert _bpe_oracle_sql().count("UNION ALL") == BPE_MERGES - 1
+
+
+def test_neardup_embedding_block_gate(spark):
+    """#41's quadratic stage is size-gated: oversized label blocks must
+    reroute to the cell-partitioned (#158) generator, and under-limit
+    blocks must keep the exact all-pairs plan (oracle path)."""
+    from tests.conftest import SF_SMOKE
+    from koalas_spark.queries.dedup import (
+        _neardup_embedding_exact,
+        neardup_embedding_cells,
+        neardup_embedding_gated,
+    )
+    from koalas_spark.queries.analytics import _t
+
+    # every sf0.001 label block exceeds limit=1 -> celled fallback
+    gated = neardup_embedding_gated(spark, SF_SMOKE, block_limit=1)
+    celled = neardup_embedding_cells(spark, SF_SMOKE).select(
+        "vec_a", "vec_b", "cos_sim"
+    )
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, celled.collect())
+    )
+
+    # default limit (20k) far above sf0.001 blocks -> exact plan
+    exact = _neardup_embedding_exact(_t(spark, SF_SMOKE, "embeddings"))
+    deflt = neardup_embedding_gated(spark, SF_SMOKE)
+    assert sorted(map(tuple, deflt.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    # celled drops cross-cell pairs by design: subset of exact
+    e_pairs = {(r["vec_a"], r["vec_b"]) for r in exact.collect()}
+    c_pairs = {(r["vec_a"], r["vec_b"]) for r in celled.collect()}
+    assert c_pairs <= e_pairs

@@ -38,9 +38,10 @@ def test_query_matches_oracle(spark, duck, name):
     raw = list(tbl.schema.names)
     order = sorted(range(len(raw)), key=lambda i: raw[i])
     d_cols = [raw[i] for i in order]
-    d_rows = sorted(
-        tuple(_norm(row[raw[i]]) for i in order) for row in tbl.to_pylist()
-    )
+    # positional extraction — name-keyed to_pylist() would collapse
+    # duplicate output column names into one value
+    col_vals = [[_norm(v) for v in tbl.column(i).to_pylist()] for i in order]
+    d_rows = sorted(tuple(col[r] for col in col_vals) for r in range(tbl.num_rows))
     assert s_cols == d_cols
     assert dtype_mismatches(sdf.schema, tbl.schema) == []
     assert len(s_rows) == len(d_rows)

@@ -16,8 +16,10 @@ then sees ``123.0`` against Spark's ``123`` and fails even though
 every value matches. That exact mechanism kept ``grouped_demean_arrow``
 red for two rounds. This tool therefore materializes the oracle
 through ``.arrow()`` and fails any column whose Arrow type family
-differs from the Spark result's schema family, so local green implies
-driver green.
+differs from the Spark result's schema family. Family match is
+necessary for driver green, not strictly sufficient (same-family
+representation differences — e.g. decimal scales — could still hash
+apart), but it catches every mechanism observed so far.
 """
 
 from __future__ import annotations
@@ -154,8 +156,10 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
             raw_cols = list(tbl.schema.names)
             order = sorted(range(len(raw_cols)), key=lambda i: raw_cols[i])
             d_cols = [raw_cols[i] for i in order]
-            pyrows = tbl.to_pylist()
-            d_rows = [tuple(_norm(row[raw_cols[i]]) for i in order) for row in pyrows]
+            # positional column extraction: name-keyed to_pylist() would
+            # silently collapse duplicate output column names
+            col_vals = [[_norm(v) for v in tbl.column(i).to_pylist()] for i in order]
+            d_rows = [tuple(col[r] for col in col_vals) for r in range(tbl.num_rows)]
             mism = dtype_mismatches(sdf.schema, tbl.schema)
             status, detail = "OK", ""
             if s_cols != d_cols:
