@@ -1,14 +1,24 @@
 """Distributed k-means (Lloyd's algorithm) over an embedding column.
 
-The 100 TB shape: centroids are tiny (k × dim doubles) and live on the
+The 100 TB shape: centroids are tiny (k × dim values) and live on the
 driver between iterations; each iteration is ONE map-side pass over
 the corpus (assign to nearest centroid via a broadcast literal array)
 plus ONE partial-aggregated shuffle of k rows per partition (sum/count
 per cluster). No corpus self-joins, no driver collect of vectors —
 the only thing that ever crosses to the driver is the k×dim centroid
-matrix. Iterations are deterministic (fixed init = first k vec_ids,
-index-order double arithmetic), so results are reproducible across
-cluster sizes.
+matrix.
+
+Since r7 the arithmetic is QUANTIZED-GRID Lloyd: components quantize
+to a 1e-4 grid (half-up via floor(x*1e4 + 0.5) — engines disagree on
+round()'s tie rule but all floor identically), per-cluster sums are
+exact int64, centroids re-quantize to the same grid with sign-aware
+half-up integer division, and distances are exact integer
+Σ(q_d - m_d)². Every step is order-independent integer math, so the
+result is bit-identical across engines, partitionings, and reduction
+orders — which is what lets #80 carry a plain-SQL DuckDB oracle
+(previously rows-only: float-sum reassociation could flip boundary
+assignments). Quantization error is bounded by half a grid step per
+component and is part of the operator's definition, not noise.
 """
 
 from __future__ import annotations
@@ -16,13 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+QUANT = 10_000  # 1e-4 grid; |x| ≤ ~50 keeps Σ(q−m)² inside exact-double range
 
-def _sq_dist(vec_col, centroid: list[float]):
-    """Squared L2 distance between an array<double/float> column and a
-    literal centroid — codegen'd zip_with + aggregate, no UDF."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(vec_col, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+def _q_sq_dist(qvec_col, centroid: list[int]):
+    """Exact integer squared L2 distance between an array<long> column
+    and a literal quantized centroid — codegen'd zip_with + aggregate,
+    no UDF."""
+    lit = F.array(*[F.lit(int(m)) for m in centroid])
+    diffs = F.zip_with(qvec_col, lit, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _half_up_div(s: int, n: int) -> int:
+    """Sign-aware round-half-up integer division s/n (n > 0) — the same
+    ((2|s|+n) // 2n) form the SQL oracles use (grouped_demean pattern)."""
+    sign = -1 if s < 0 else 1
+    return sign * ((2 * abs(s) + n) // (2 * n))
 
 
 def kmeans_lloyd(
@@ -32,41 +52,42 @@ def kmeans_lloyd(
     k: int = 8,
     iters: int = 5,
 ) -> DataFrame:
-    """Run `iters` Lloyd iterations; returns (id, cluster, sq_dist).
+    """Run `iters` Lloyd iterations; returns (id, cluster, qdist).
 
     Init: the k lowest-id vectors (deterministic). Empty clusters keep
-    their previous centroid."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    their previous centroid. `qdist` is the exact integer squared L2
+    distance on the 1e-4 quantized grid (i.e. true distance × 1e8)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("id"), qv.alias("q"))
     centroids = [
-        [float(x) for x in r.v]
-        for r in base.orderBy("id").limit(k).collect()
+        [int(x) for x in r.q] for r in base.orderBy("id").limit(k).collect()
     ]
 
     def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[_sq_dist(F.col("v"), c) for c in centroids])
+        dists = F.array(*[_q_sq_dist(F.col("q"), c) for c in centroids])
         # array_position of the min = nearest centroid, 1-based; ties
         # break to the lowest cluster id on both recomputes
-        best = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        best = F.array_position(dists, F.array_min(dists)).cast("long") - 1
         return frame.withColumn("cluster", best).withColumn(
-            "sq_dist", F.array_min(dists)
+            "qdist", F.array_min(dists)
         )
 
+    dim = len(centroids[0])
     for _ in range(iters):
         assigned = assign(base)
-        dim = len(centroids[0])
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
             *[
-                F.sum(F.element_at(F.col("v"), i + 1).cast("double")).alias(f"s{i}")
+                F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")
                 for i in range(dim)
             ],
         )
         new = {
-            r["cluster"]: [r[f"s{i}"] / r["n"] for i in range(dim)]
+            r["cluster"]: [_half_up_div(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)]
             for r in sums.collect()
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
 
-    return assign(base).select(
-        "id", "cluster", F.round("sq_dist", 6).alias("sq_dist")
-    )
+    return assign(base).select("id", "cluster", "qdist")

@@ -139,14 +139,25 @@ def ivf_topk(
 def _bucketed(prepped: DataFrame, id_name: str, num_planes: int) -> DataFrame:
     """Attach the sign-bucket id via posexplode + hash-agg: flat
     codegen'd columns instead of per-element higher-order lambdas
-    (~3x faster measured; same deterministic hyperplane family —
-    weight(p,d) = ±1 from bit0 of xxhash64(p,d))."""
-    ex = prepped.select(id_name, F.posexplode(f"_{id_name}_vec").alias("d", "x"))
+    (~3x faster measured).
+
+    Engine-portable hyperplane family (since r7, was xxhash64):
+    weight(p,d) = ±1 from bit 20 of the 32-bit Knuth multiplicative
+    hash of i = p*4096 + d (bit 0 of i*odd is just the parity of i, so
+    a mid bit is taken; the 4096 stride decouples planes for any
+    dim ≤ 4096). The projection runs over the 1e4-quantized INTEGER
+    vector, so its sign is exact order-independent arithmetic — no
+    float-reassociation hazard across partitionings, and a plain-SQL
+    oracle reproduces the buckets (queries/similarity.py #43)."""
+    qx = F.floor(F.col("x") * 10000 + F.lit(0.5)).cast("long")
+    ex = prepped.select(
+        id_name, F.posexplode(f"_{id_name}_vec").alias("d", "x")
+    ).select(id_name, "d", qx.alias("qx"))
 
     def proj(p: int):
-        signed = F.when(
-            F.xxhash64(F.lit(p), F.col("d")).bitwiseAND(F.lit(1)) == 1, F.col("x")
-        ).otherwise(-F.col("x"))
+        h = (F.lit(p * 4096) + F.col("d")) * F.lit(2654435761) % F.lit(4294967296)
+        bit = F.shiftright(h, 20).bitwiseAND(F.lit(1))
+        signed = F.when(bit == 1, F.col("qx")).otherwise(-F.col("qx"))
         return F.sum(signed).alias(f"_pr{p}")
 
     projs = ex.groupBy(id_name).agg(*[proj(p) for p in range(num_planes)])

@@ -36,20 +36,110 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, probes, "vec_id", "embedding", k=5)
 
 
-# 43. LSH-bucketed ANN (rows-only: the hyperplane family is built from
-# xxhash64; recall vs the brute-force baseline is asserted in tests).
-@query("ann_lsh_topk", oracle=None)
+# 43. LSH-bucketed ANN — sign-random-projection buckets, exact cosine
+# re-rank within the probe's bucket. Since r7 the hyperplane family is
+# engine-portable (±1 weights from bit 20 of a Knuth multiplicative
+# hash of p*4096+d, projections over the 1e4-quantized integer vector
+# — see operators/similarity._bucketed), so the oracle reproduces the
+# buckets and the full ranking exactly (previously rows-only).
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+b AS (
+  SELECT vec_id, e,
+         CAST(list_sum(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                  CASE WHEN ((((p * 4096 + d) * 2654435761) % 4294967296)
+                             // 1048576) % 2 = 1
+                       THEN q[d + 1] ELSE -q[d + 1] END)) > 0
+                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bk
+  FROM v)
+SELECT probe_id, neighbor_id, cos_sim, rk FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         ROUND({_COS.replace('.embedding', '._e')}, 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY ROUND({_COS.replace('.embedding', '._e')}, 6) DESC,
+                                     c.vec_id ASC) AS rk
+  FROM (SELECT vec_id, e AS _e, bk FROM b) p
+  JOIN (SELECT vec_id, e AS _e, bk FROM b) c
+    ON p.bk = c.bk AND p.vec_id != c.vec_id
+  WHERE p.vec_id < 5) t
+WHERE rk <= 5
+""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return lsh_topk(emb, probes, "vec_id", "embedding", k=5, num_planes=8, dim=64)
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Chained-CTE replay of quantized-grid Lloyd (the bpe_learn_merges
+    pattern): every iteration is one assign CTE (argmin over exact
+    integer distances, MIN-pair tie-break to the lowest cluster) and
+    one centroid-update CTE (int64 sums + sign-aware half-up division
+    back onto the 1e-4 grid, empty clusters keep the previous
+    centroid). All CTEs MATERIALIZED so DuckDB doesn't inline the
+    chain exponentially."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, %d), dd -> "
+        "(v.q[dd] - c.m[dd]) * (v.q[dd] - c.m[dd]))) AS DOUBLE)" % (dim + 1)
+    )
+
+    def assign(cent: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (\n"
+            f"  SELECT id, CAST(MIN([dist, CAST(cl AS DOUBLE)])[2] AS BIGINT) AS cl,\n"
+            f"         CAST(MIN(dist) AS BIGINT) AS qdist\n"
+            f"  FROM (SELECT v.id, c.cl, {dist} AS dist FROM v CROSS JOIN {cent} c) t\n"
+            f"  GROUP BY id)"
+        )
+
+    def update(prev_cent: str, asn: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (\n"
+            f"  SELECT p.cl, COALESCE(nm.m, p.m) AS m\n"
+            f"  FROM {prev_cent} p LEFT JOIN (\n"
+            f"    SELECT cl, list(mv ORDER BY dd) AS m FROM (\n"
+            f"      SELECT a.cl, u.dd,\n"
+            f"             CAST(CAST(SIGN(SUM(v.q[u.dd])) AS BIGINT)\n"
+            f"                  * ((2 * ABS(SUM(v.q[u.dd])) + COUNT(*))\n"
+            f"                     // (2 * COUNT(*))) AS BIGINT) AS mv\n"
+            f"      FROM {asn} a JOIN v USING (id), unnest(range(1, {dim + 1})) AS u(dd)\n"
+            f"      GROUP BY a.cl, u.dd) s\n"
+            f"    GROUP BY cl) nm ON nm.cl = p.cl)"
+        )
+
+    parts = [
+        "WITH v AS MATERIALIZED (\n"
+        "  SELECT vec_id AS id,\n"
+        "         list_transform(CAST(embedding AS DOUBLE[]),\n"
+        "                        x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS q\n"
+        "  FROM embeddings)",
+        f"c0 AS MATERIALIZED (\n"
+        f"  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cl, q AS m\n"
+        f"  FROM (SELECT id, q FROM v ORDER BY id LIMIT {k}) t)",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"c{i}", f"a{i + 1}"))
+        parts.append(update(f"c{i}", f"a{i + 1}", f"c{i + 1}"))
+    parts.append(assign(f"c{iters}", "fin"))
+    return ",\n".join(parts) + "\nSELECT id, cl AS cluster, qdist FROM fin"
+
+
 # 80. distributed k-means (Lloyd) — iterative algorithm: broadcast
 # centroids, one map pass + one k-row shuffle per iteration, nothing
-# but the centroid matrix ever reaches the driver (rows-only: tests
-# assert exact agreement with an independent numpy implementation).
-@query("kmeans_clusters", oracle=None)
+# but the centroid matrix ever reaches the driver. Since r7 the math
+# is quantized-grid Lloyd (operators/clustering.py): exact int64
+# sums/distances on a 1e-4 grid make every iteration order-independent
+# and engine-portable, so the chained-CTE oracle above replays all 3
+# iterations bit-for-bit (previously rows-only vs a numpy reference).
+@query("kmeans_clusters", oracle=_kmeans_oracle_sql(k=8, iters=3, dim=64))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.clustering import kmeans_lloyd
 

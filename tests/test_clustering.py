@@ -1,46 +1,53 @@
-"""Distributed Lloyd k-means vs an independent numpy implementation:
-identical assignments and distances (same init, same tie-breaks)."""
+"""Distributed quantized-grid Lloyd k-means vs an independent numpy
+implementation: identical assignments and distances, NO tolerance —
+the operator's integer arithmetic is order-independent by design, so
+any mismatch is a bug, not float weather."""
 
 import numpy as np
 
 from tests.conftest import SF_SMOKE
 
 
+def _half_up_div(s: int, n: int) -> int:
+    sign = -1 if s < 0 else 1
+    return sign * ((2 * abs(s) + n) // (2 * n))
+
+
 def test_kmeans_matches_numpy(spark):
-    from koalas_spark.operators.clustering import kmeans_lloyd
+    from koalas_spark.operators.clustering import QUANT, kmeans_lloyd
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     k, iters = 4, 3
     got = {
-        r.id: (r.cluster, r.sq_dist)
+        r.id: (r.cluster, r.qdist)
         for r in kmeans_lloyd(emb, "vec_id", "embedding", k=k, iters=iters).collect()
     }
 
     rows = sorted(
-        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        (
+            (r.vec_id, np.floor(np.array(r.embedding, dtype=np.float64) * QUANT + 0.5).astype(np.int64))
+            for r in emb.collect()
+        ),
         key=lambda t: t[0],
     )
     ids = np.array([t[0] for t in rows])
     X = np.stack([t[1] for t in rows])
     C = X[:k].copy()
-    for _ in range(iters):
+
+    def assign(C):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        a = d.argmin(axis=1)
+        return d.argmin(axis=1), d.min(axis=1)
+
+    for _ in range(iters):
+        a, _ = assign(C)
         for c in range(k):
-            if (a == c).any():
-                C[c] = X[a == c].mean(axis=0)
-    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    a = d.argmin(axis=1)
-    mism = 0
+            members = X[a == c]
+            if len(members):
+                s = members.sum(axis=0)
+                C[c] = [_half_up_div(int(sv), len(members)) for sv in s]
+    a, d = assign(C)
     for i, vid in enumerate(ids):
-        cl, sd = got[vid]
-        if cl != a[i]:
-            mism += 1
-        else:
-            assert abs(sd - round(d[i, a[i]], 6)) < 1e-4
-    # boundary points can flip under float reassociation; require
-    # essentially-identical clusterings
-    assert mism <= len(ids) * 0.01, f"{mism}/{len(ids)} assignments differ"
+        assert got[vid] == (a[i], d[i]), f"vec {vid}: {got[vid]} != {(a[i], d[i])}"
 
 
 def test_kmeans_objective_decreases(spark):
@@ -51,6 +58,8 @@ def test_kmeans_objective_decreases(spark):
     o3 = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=4)
     from pyspark.sql import functions as F
 
-    s1 = o1.agg(F.sum("sq_dist")).first()[0]
-    s3 = o3.agg(F.sum("sq_dist")).first()[0]
-    assert s3 <= s1 + 1e-9
+    s1 = o1.agg(F.sum("qdist")).first()[0]
+    s3 = o3.agg(F.sum("qdist")).first()[0]
+    # grid re-quantization of each centroid can cost up to half a step
+    # per component, so allow a hair of slack on strict monotonicity
+    assert s3 <= s1 * 1.01
