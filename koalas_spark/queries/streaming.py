@@ -91,11 +91,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 51. custom stateful streaming operator — per-user sessionization via
-# applyInPandasWithState (rows-only: emits closed sessions; the
-# trailing open session per user stays in state, so the driver's
-# SQL-equality check doesn't apply — tests assert the emitted rows are
-# a prefix of the batch sessionization).
-@query("stream_stateful_sessions", oracle=None)
+# applyInPandasWithState. Since r7 the open-session tail is FLUSHED
+# (two far-future sentinel events advance the watermark after the
+# source drains, firing every event-time timeout — see
+# streaming/stateful.stream_sessionize), so the emitted rows are
+# exactly the batch sessionization and the op shares a batch oracle
+# (previously rows-only with prefix-subset asserts). Session boundary
+# is strictly-greater-than-gap, matching the stateful op's
+# `t - last > gap`; session_end is the LAST EVENT's ts (no gap pad).
+@query(
+    "stream_stateful_sessions",
+    oracle="""
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events) a) b
+GROUP BY user_id, sid
+""",
+)
 def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.stateful import stream_sessionize
 
@@ -202,8 +225,9 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same planted missingness as batch #202, and because ingestion
 # replays time-ordered, the result is EXACTLY the batch window's —
 # so this custom streaming operator shares the batch oracle (the
-# strongest check a stateful op can get; stream_stateful_sessions
-# stays rows-only because its open-session tail genuinely differs).
+# strongest check a stateful op can get; since r7
+# stream_stateful_sessions reaches the same bar via sentinel-driven
+# watermark advancement).
 @query(
     "stream_locf_impute",
     oracle="""

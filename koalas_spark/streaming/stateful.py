@@ -78,15 +78,38 @@ def _sessionize_group(
         )
 
 
+_SENTINEL_USER = -1
+
+
 def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
-    """Drive the bounded events file through the stateful sessionizer;
-    returns closed sessions (open ones remain in state — same
-    semantics a production stream would have)."""
-    # shared staging: stable key + flat part-file symlinks (directory
-    # sources — e.g. scaled tables — stream 0 rows otherwise)
+    """Drive the bounded events file through the stateful sessionizer
+    and FLUSH the tail, so the emitted rows are exactly the batch
+    sessionization (value-checked by a shared SQL oracle since r7;
+    previously the trailing open session per user stayed in state and
+    the op was rows-only).
+
+    Tail flush: after the source drains, two far-future sentinel
+    events (user −1) are staged into the monitored dir. Sentinel 1
+    advances the event-time watermark past every open session's
+    last + gap; sentinel 2 forces the follow-up micro-batch in which
+    those event-time timeouts actually fire (timeouts compare against
+    the PREVIOUS batch's watermark, so one sentinel alone isn't
+    enough). That is exactly how a production stream's tail closes —
+    by later traffic moving the watermark — just compressed to the end
+    of the bounded replay. The stage dir is therefore per-run (the
+    sentinels must not leak into a later run's batch 1, where they'd
+    advance the watermark before any timeout could be registered) and
+    is removed on exit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
     from koalas_spark.streaming.windows import _staged_events_stream
 
-    src = _staged_events_stream(spark, events_path, "sess")
+    run = uuid.uuid4().hex[:8]
+    src, stage = _staged_events_stream(
+        spark, events_path, f"sess_{run}", with_stage_dir=True
+    )
     sessions = (
         src.select("user_id", "ts")
         .withWatermark("ts", f"{GAP_SECONDS} seconds")
@@ -99,7 +122,36 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    qname = f"sessions_{uuid.uuid4().hex[:8]}"
+
+    batch_src = spark.read.parquet(events_path)
+    ts_dtype = dict(batch_src.dtypes)["ts"]
+
+    def _stage_sentinel(n: int, gaps_ahead: int) -> None:
+        # one-row parquet derived from the source file itself so the
+        # column types (incl. the ts flavor) match the staged schema;
+        # ts must clear max(ts) + 2*gap for EVERY user, so shift the max
+        mx = batch_src.agg(F.max("ts")).first()[0]
+        if ts_dtype == "bigint":  # nanos-as-long flavor
+            new_ts = F.lit(int(mx) + gaps_ahead * GAP_SECONDS * 1_000_000_000)
+        else:
+            new_ts = (
+                F.lit(mx).cast(ts_dtype)
+                + F.expr(f"INTERVAL {gaps_ahead * GAP_SECONDS} SECONDS")
+            ).cast(ts_dtype)
+        one = (
+            batch_src.limit(1)
+            .withColumn("user_id", F.lit(_SENTINEL_USER).cast("long"))
+            .withColumn("ts", new_ts)
+        )
+        tmp = os.path.join(stage, f"_sentinel_build_{n}")
+        one.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(stage, f"zz_sentinel_{n}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    qname = f"sessions_{run}"
     # state partitions sized to state volume, not cores — see
     # windows._run_to_memory for the measurement
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -113,7 +165,15 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
-            result = spark.table(qname).persist()
+            _stage_sentinel(1, gaps_ahead=3)
+            q.processAllAvailable()
+            _stage_sentinel(2, gaps_ahead=10)
+            q.processAllAvailable()
+            result = (
+                spark.table(qname)
+                .filter(F.col("user_id") != _SENTINEL_USER)
+                .persist()
+            )
             # materialize the cache before stopping the query (the
             # memory sink's rows are tied to it) — no driver collect()
             result.count()
@@ -121,6 +181,7 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(stage, ignore_errors=True)
     return result
 
 

@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 
 def _staged_events_stream(
-    spark: SparkSession, events_path: str, prefix: str
-) -> DataFrame:
+    spark: SparkSession, events_path: str, prefix: str, with_stage_dir: bool = False
+):
     """readStream over a single (read-only) parquet file: the file
     streaming source monitors a directory, so the input is staged
     behind a symlink dir. Normalizes nanos/NTZ ts flavors to
@@ -51,7 +51,10 @@ def _staged_events_stream(
         if not os.path.exists(link):
             os.symlink(p, link)
     src = spark.readStream.schema(schema).parquet(stage)
-    return normalize_event_time(src)
+    out = normalize_event_time(src)
+    # with_stage_dir: callers that inject watermark-advance sentinel
+    # files mid-run (stream_sessionize) need the monitored dir
+    return (out, stage) if with_stage_dir else out
 
 
 def stream_tumbling_counts(

@@ -2,16 +2,17 @@
 
 - stream_tumbling_agg is oracle-checked in test_oracle_smoke (shares
   the batch window-agg oracle).
-- stream_stateful_sessions (applyInPandasWithState) has no SQL twin;
-  here we assert every session it emits is exactly a session the
-  batch sessionizer produces (the stream may hold back trailing open
-  sessions whose event-time timeout the final watermark never passes).
+- stream_stateful_sessions (applyInPandasWithState) flushes its
+  open-session tail via sentinel watermark advancement since r7, so
+  its emitted rows must EQUAL the batch sessionization exactly (it is
+  also oracle-checked in test_oracle_smoke; the equality here pins the
+  batch-twin agreement independent of the SQL formulation).
 """
 
 from tests.conftest import SF_SMOKE
 
 
-def test_stateful_sessions_subset_of_batch(spark):
+def test_stateful_sessions_equal_batch(spark):
     from koalas_spark.queries.analytics import sessionize_events
     from koalas_spark.streaming.stateful import stream_sessionize
 
@@ -23,13 +24,8 @@ def test_stateful_sessions_subset_of_batch(spark):
         (r.user_id, r.session_start, r.session_end, r.n_events)
         for r in stream_sessionize(spark, f"{SF_SMOKE}/events.parquet").collect()
     ]
-    assert len(streamed) > 0
     assert len(streamed) == len(set(streamed))  # no duplicate emissions
-    missing = [s for s in streamed if s not in batch]
-    assert missing == [], f"streamed sessions not in batch output: {missing[:5]}"
-    # the stream should emit the large majority of sessions; only the
-    # per-user trailing ones may be retained in state
-    assert len(streamed) >= 0.5 * len(batch)
+    assert set(streamed) == batch
 
 
 def test_foreachbatch_sink_replay_idempotent(spark, tmp_path):
