@@ -268,6 +268,15 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 """,
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edge_set(spark, sf_dir)
+    tri = _count_triangles(e)
+    n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
+
+
+def _copurchase_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) distinct co-purchase edges, checkpointed —
+    the edge set feeds the degree pass plus 3 join legs."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -275,7 +284,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.alias("a")
     b = li.alias("b")
-    e = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -285,8 +294,13 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=False)  # edge set feeds degree + 3 join legs
+        .localCheckpoint(eager=False)
     )
+
+
+def _count_triangles(e: DataFrame) -> DataFrame:
+    """Degree-oriented wedge join + closing equi-join over a canonical
+    (u, v) edge frame → 1-row (n_triangles) frame."""
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
@@ -332,12 +346,65 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    tri = wedges.join(
+    return wedges.join(
         z,
         (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
+
+
+# --------------------------------------------------------------------
+# 207. DOULION sampled triangle count (Tsourakakis et al., KDD'09) —
+# the 100 TB path #171's own comments name: keep each edge with an
+# independent coin of probability p, run the IDENTICAL degree-oriented
+# exact pipeline on the sparsified graph, scale the count by 1/p³ for
+# an unbiased estimate (each triangle survives with probability p³).
+# The wedge stage shrinks ~p² and the edge shuffle ~p — at p = 1/4
+# that is 16× less wedge traffic for a known variance bound. The coin
+# is the repo's portable md5 device (span_corruption_masks pattern):
+# substr(md5(u ':' v), 1, 4) < '8000' gives p = 1/2 exactly, so the
+# sampled edge set — and therefore the sampled count AND the ×8
+# estimate — is deterministic and oracle-exact on both engines (the
+# estimator's randomness is over coins, which are pinned; the sf1
+# ERROR-BOUND measurement vs the exact count lives in SCALING.md).
+@query(
+    "triangle_count_doulion",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS (SELECT s, t FROM e0
+      WHERE substr(md5(CAST(s AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 4)
+            < '8000'),
+tri AS (SELECT COUNT(*) AS c FROM e e1
+        JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
+        JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges_sampled,
+       CAST(tri.c AS BIGINT) AS n_tri_sampled,
+       CAST(8 * tri.c AS BIGINT) AS est_triangles
+FROM tri
+""",
+)
+def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edge_set(spark, sf_dir)
+    coin = F.substring(
+        F.md5(
+            F.concat(
+                F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+            )
+        ),
+        1,
+        4,
+    )
+    # re-checkpoint: the sparsified set feeds degree + 3 join legs
+    es = e.filter(coin < "8000").localCheckpoint(eager=False)
+    tri = _count_triangles(es)
+    n_e = es.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_sampled"))
+    return n_e.crossJoin(F.broadcast(tri)).select(
+        "n_edges_sampled",
+        F.col("n_triangles").alias("n_tri_sampled"),
+        (F.col("n_triangles") * 8).cast("bigint").alias("est_triangles"),
+    )
 
 
 # --------------------------------------------------------------------
