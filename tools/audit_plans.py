@@ -62,6 +62,8 @@ EXPECTED = {
     "ann_rq_topk": {"BroadcastNestedLoopJoin"},
     # two 1-row frames (edge count × triangle count) cross-joined
     "triangle_count_parts": {"BroadcastNestedLoopJoin"},
+    # same two-1-row-frames crossJoin as triangle_count_parts
+    "triangle_count_doulion": {"BroadcastNestedLoopJoin"},
     # 1-row viewer-count frame cross-joined onto the 1-row stats frame
     "conversion_latency_stats": {"BroadcastNestedLoopJoin"},
     # 1-row total-token frame cross-joined onto the bigram aggregate
