@@ -12,7 +12,15 @@ Four families, all shuffle-light by construction:
 At 100 TB: every stage is a hash shuffle on a uniform synthetic key
 (fingerprint / band signature / bit segment), so no skew; candidate
 pair sets are tiny relative to the corpus; nothing collects to the
-driver. All hashing is xxhash64 — JVM codegen, no Python.
+driver.
+
+Hashing (since r7): the base hash for shingles and simhash tokens is
+the 60-bit md5-prefix integer (portable_hash60) — JVM codegen like
+xxhash64 but reproducible in ANY engine that has md5 (DuckDB:
+CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)), which is what lets
+the minhash-LSH and simhash queries carry full SQL oracles. md5
+costs more per byte than xxhash64, but hashing is a one-pass map over
+the corpus — the measured query deltas are inside session noise.
 """
 
 from __future__ import annotations
@@ -21,6 +29,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from koalas_spark.functions.textfn import normalize_text, tokens, word_shingles
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash of a string — the first 15 hex digits of
+    md5, parsed base-16. Engine-portable: DuckDB computes the same
+    value as CAST('0x' || substr(md5(s), 1, 15) AS BIGINT). Always
+    non-negative (< 2^60)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -41,14 +57,15 @@ def shingle_sets(
 ) -> DataFrame:
     """id → hashed shingle set (array<long>).
 
-    Each shingle is string-hashed ONCE (xxhash64) so every downstream
-    stage (signatures, verify joins) moves 8-byte keys, not text.
+    Each shingle is string-hashed ONCE (portable_hash60) so every
+    downstream stage (signatures, verify joins) moves 8-byte keys, not
+    text — and any engine with md5 can reproduce the exact values.
     Callers that consume this more than once should persist it."""
     # materialize tokens first — an inline split would re-run per
     # element_at inside the shingle lambda (see word_shingles doc)
     toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks"))
     sh = word_shingles(F.col("_toks"), shingle_n)
-    hashed = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shingles")
+    hashed = F.array_distinct(F.transform(sh, portable_hash60)).alias("shingles")
     return toks.select("id", hashed).filter(F.size("shingles") > 0)
 
 
@@ -135,6 +152,11 @@ def lsh_candidate_pairs(
     its other bands unless it is hot in all of them). At the default
     1000 cap a bucket row holds <=~500k pair structs (~8 MB). Pass
     max_bucket_size=0 to disable the cap (exact candidate recall)."""
+    # the bucket key is the band's raw slot TUPLE (since r7; was an
+    # xxhash64 of the slots) — grouping on 4 longs shuffles 32-byte
+    # keys instead of 8 but removes the engine-specific hash, so a SQL
+    # oracle can rebuild the buckets; collision-merging of distinct
+    # buckets (astronomically rare before) is now impossible
     banded = sigs.select(
         "id",
         F.explode(
@@ -142,7 +164,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        F.array(
                             *[F.col("sig")[b * rows + r] for r in range(rows)]
                         ).alias("bh"),
                     )
@@ -228,11 +250,13 @@ def verify_pairs_jaccard(
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, each bit votes ±1, sign of
+    """SimHash: per-token portable_hash60 (60 effective bits — bits
+    60-63 of every token hash are zero, so those fingerprint bits are
+    always 0; hamming semantics unchanged), each bit votes ±1, sign of
     the vote sum sets the fingerprint bit.
 
-    Token hashing stays JVM-side (xxhash64 inside a higher-order
-    transform, deterministic across engines); the 64-bit vote fold is
+    Token hashing stays JVM-side (md5-prefix inside a higher-order
+    transform, reproducible in ANY engine); the vote fold is
     a SHUFFLE-FREE Arrow-batched map — one vectorized numpy pass turns
     each doc's token-hash array into its fingerprint. The earlier
     explode + groupBy(id) + 64-conditional-sum formulation paid a full
@@ -272,7 +296,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         # as NULL docs (pinned by test_simhash_null_empty_policy)
         F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("_toks"),
     )
-    hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    hashes = F.transform(F.col("_toks"), portable_hash60)
     return toks.select("id", _sim(hashes).alias("simhash"))
 
 

@@ -43,10 +43,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-# 38. MinHash + LSH near-dup pairs (rows-only: the xxhash64 permutation
-# family is Spark-specific; correctness is anchored by the exact-Jaccard
-# verify stage and the unit tests with planted near-duplicates).
-@query("dedup_minhash_lsh", oracle=None)
+# 38. MinHash + LSH near-dup pairs. Fully oracle-checked since r7:
+# the base shingle hash is the portable 60-bit md5 prefix, the perm
+# family is plain 31-bit affine arithmetic, and band buckets key on
+# the raw 4-slot tuple — so DuckDB replays shingles → 64 signature
+# mins → 16-band bucketing (with the 1000 cap) → candidate pairs →
+# exact-Jaccard verify, value-for-value (previously rows-only: the
+# xxhash64 perm family was Spark-specific).
+@query(
+    "dedup_minhash_lsh",
+    oracle="""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs
+  FROM (SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents) t
+  WHERE LEN(toks) >= 3),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+           list_min(list_transform(hs, h ->
+             (((2654435761 * (2*i + 1)) % 2147483648) * (h % 2147483648)
+              + ((40503 * (i + 12345)) % 2147483648)) % 2147483648))) AS sig
+  FROM sh),
+bnd AS MATERIALIZED (
+  SELECT doc_id, p,
+         [sig[4*p+1], sig[4*p+2], sig[4*p+3], sig[4*p+4]] AS key
+  FROM sig, unnest(range(0, 16)) AS u(p)),
+okb AS (SELECT p, key FROM (SELECT p, key, COUNT(*) AS n FROM bnd GROUP BY p, key) c
+        WHERE n >= 2 AND n <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a
+  JOIN okb ON okb.p = a.p AND okb.key = a.key
+  JOIN bnd b ON b.p = a.p AND b.key = a.key AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(LEN(list_filter(x.hs, v -> list_contains(y.hs, v))) AS DOUBLE)
+               / (LEN(x.hs) + LEN(y.hs)
+                  - LEN(list_filter(x.hs, v -> list_contains(y.hs, v)))), 6)
+           AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = cand.id_a
+            JOIN sh y ON y.doc_id = cand.id_b)
+SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM ver WHERE jaccard >= 0.5
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
 
@@ -133,8 +177,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 40. SimHash near-dup candidates (rows-only: xxhash64 token hashes).
-@query("dedup_simhash", oracle=None)
+# 40. SimHash near-dup pairs. Fully oracle-checked since r7: token
+# hashes are the portable 60-bit md5 prefix, so DuckDB replays the
+# per-bit ±1 vote fold (bit b set iff ones > tokens/2), the 4×16-bit
+# segment pigeonhole, and the bit_count(xor) hamming verify exactly
+# (previously rows-only: xxhash64 token hashes). Empty/NULL docs
+# fingerprint to 0 on both engines and pair with each other at
+# hamming 0 — the documented degenerate-doc policy.
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH f AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN 2 * list_sum(list_transform(h, x -> (x >> b) & 1))
+                       > LEN(h)
+                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS BIGINT)
+           AS simhash
+  FROM (
+    SELECT doc_id,
+           list_transform(
+               list_filter(string_split_regex(TRIM(text), '\\s+'),
+                           t -> t != ''),
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
+    FROM documents) t),
+seg AS MATERIALIZED (
+  SELECT doc_id, simhash, s, (simhash >> (16 * CAST(s AS INT))) & 65535 AS sv
+  FROM f, unnest(range(0, 4)) AS u(s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM seg a JOIN seg b
+    ON a.s = b.s AND a.sv = b.sv AND a.doc_id < b.doc_id)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sims = simhash64(docs, "doc_id", "text")
