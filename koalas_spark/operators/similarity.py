@@ -658,12 +658,13 @@ def nn_descent(
     friend, the paper's core observation) and keep the best k per
     node.
 
-    Everything is hash-deterministic (xxhash64 buckets, rounded-6
-    cosine, (cos DESC, dst ASC) tie-break), so the graph is
-    reproducible across runs and partitionings — but the permutation
-    family is engine-specific, so the query registers rows-only; the
-    recall guarantees are unit-tested against the exact brute-force
-    neighbors instead (tests/test_similarity.py).
+    Everything is hash-deterministic (portable md5-prefix buckets
+    since r7 — was xxhash64 — rounded-6 cosine, (cos DESC, dst ASC)
+    tie-break), so the graph is reproducible across runs, partitionings
+    AND engines: the query's chained-CTE oracle replays the init and
+    all refinement rounds value-for-value, and the recall guarantees
+    are additionally unit-tested against the exact brute-force
+    neighbors (tests/test_similarity.py).
 
     Scale shape per iteration: ONE self-join of the k-edge list on the
     shared node (fan-out <= k^2 per node, bounded by construction),
@@ -694,18 +695,21 @@ def nn_descent(
     # make co-membership differ per salt, which is the deterministic
     # analogue of the paper's random-neighbor init and gives the
     # neighbor-of-neighbor walk cross-bucket reach.
+    from koalas_spark.operators.dedup import portable_hash60
+
     tgt = max(k // 2, 2)
     n_frame = vec.agg(
         F.greatest(
-            (F.count(F.lit(1)) / tgt).cast("bigint"), F.lit(1).cast("bigint")
+            F.floor(F.count(F.lit(1)) / tgt).cast("bigint"), F.lit(1).cast("bigint")
         ).alias("nb")
     )
     ids = vec.select("vid").crossJoin(F.broadcast(n_frame))
     per_salt = []
     for salt in range(3):
-        bucketed = ids.select(
-            "vid", F.pmod(F.xxhash64("vid", F.lit(salt)), F.col("nb")).alias("bk")
+        h = portable_hash60(
+            F.concat(F.col("vid").cast("string"), F.lit(f":{salt}"))
         )
+        bucketed = ids.select("vid", F.pmod(h, F.col("nb")).alias("bk"))
         per_salt.append(
             bucketed.alias("a")
             .join(bucketed.alias("b"), F.col("a.bk") == F.col("b.bk"))

@@ -399,18 +399,76 @@ def ann_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rq_topk(emb, probes, codebook_src, "vec_id", "embedding", k=5)
 
 
+def _nn_descent_oracle_sql(k: int = 10, iters: int = 4, tgt: int = 5) -> str:
+    """Chained-CTE replay of NN-Descent: portable md5-prefix bucket
+    init (3 salts), then per round candidates = edges ∪ reversed ∪
+    neighbor-of-neighbor, re-ranked to the best k per node by rounded
+    cosine with (cos DESC, dst ASC) ties. All CTEs MATERIALIZED."""
+    cos = "ROUND(list_dot_product(a.v, b.v) / SQRT(a.n2 * b.n2), 6)"
+
+    def top_k(cand: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (\n"
+            f"  SELECT src, dst, cos_sim, rk FROM (\n"
+            f"    SELECT c.src, c.dst, {cos} AS cos_sim,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY c.src\n"
+            f"                              ORDER BY {cos} DESC, c.dst ASC) AS rk\n"
+            f"    FROM {cand} c JOIN vec a ON a.vid = c.src\n"
+            f"                  JOIN vec b ON b.vid = c.dst) t\n"
+            f"  WHERE rk <= {k})"
+        )
+
+    parts = [
+        "WITH vec AS MATERIALIZED (\n"
+        "  SELECT vid, v, n2 FROM (\n"
+        "    SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,\n"
+        "           list_dot_product(CAST(embedding AS DOUBLE[]),\n"
+        "                            CAST(embedding AS DOUBLE[])) AS n2\n"
+        "    FROM embeddings) t WHERE n2 > 0)",
+        f"nbf AS (SELECT GREATEST(CAST(FLOOR(COUNT(*) / {tgt}.0) AS BIGINT),\n"
+        f"                        CAST(1 AS BIGINT)) AS nb FROM vec)",
+        "bkt AS MATERIALIZED (\n"
+        "  SELECT vid, s,\n"
+        "         CAST('0x' || substr(md5(CAST(vid AS VARCHAR) || ':'\n"
+        "                                 || CAST(s AS VARCHAR)), 1, 15)\n"
+        "              AS BIGINT) % nbf.nb AS bk\n"
+        "  FROM vec, unnest(range(0, 3)) AS u(s), nbf)",
+        "c0 AS MATERIALIZED (\n"
+        "  SELECT DISTINCT a.vid AS src, b.vid AS dst\n"
+        "  FROM bkt a JOIN bkt b ON a.s = b.s AND a.bk = b.bk AND a.vid != b.vid)",
+        top_k("c0", "e0"),
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i + 1} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT src, dst FROM (\n"
+            f"    SELECT src, dst FROM e{i}\n"
+            f"    UNION ALL SELECT dst AS src, src AS dst FROM e{i}\n"
+            f"    UNION ALL SELECT p.src AS src, q.dst AS dst\n"
+            f"              FROM e{i} p JOIN e{i} q ON p.dst = q.src) t\n"
+            f"  WHERE src != dst)"
+        )
+        parts.append(top_k(f"c{i + 1}", f"e{i + 1}"))
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT src AS probe_id, dst AS neighbor_id, cos_sim, rk"
+        f" FROM e{iters} WHERE src < 5"
+    )
+
+
 # 199. NN-Descent k-NN graph (Dong et al., WWW'11) — the construction
 # loop behind graph-based ANN (NSW/HNSW family) and the registry's
 # fourth iterative algorithm (with k-means, PageRank, BPE): hash-
 # bucket init (3 salted bucketings — a single bucketing would be a
 # clique closed under neighbor-of-neighbor), then refinement rounds
-# keeping the best k per node via WindowGroupLimit. Measured recall@10
-# vs exact neighbors at sf0.001: 0.03 init -> 0.15 / 0.38 / 0.62 /
-# 0.77 over rounds 1-4 -> 0.85 at 6 — the paper's convergence curve. Rows-only: the xxhash64
-# bucket init is engine-specific; recall against exact brute-force
-# neighbors and per-iteration monotonicity are unit-tested instead
+# keeping the best k per node via WindowGroupLimit. Fully
+# oracle-checked since r7: the portable md5-prefix bucket init makes
+# the whole construction engine-reproducible, and the chained-CTE
+# oracle above replays init + all 4 rounds value-for-value (was
+# rows-only under the xxhash64 init). Recall against exact brute-force
+# neighbors and per-iteration monotonicity stay unit-tested
 # (tests/test_similarity.py::test_nn_descent_recall_improves).
-@query("ann_nn_descent", oracle=None)
+@query("ann_nn_descent", oracle=_nn_descent_oracle_sql(k=10, iters=4, tgt=5))
 def ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.similarity import nn_descent
 
