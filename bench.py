@@ -99,6 +99,11 @@ HEADLINE = [
     "user_erasure_compact",
     "multimodal_gif_roundtrip",
     "ann_rq_topk",
+    # r7 additions: the DOULION sampled triangle path (vs the exact
+    # plan above), quantized-grid Lloyd, portable-hash LSH ANN
+    "triangle_count_doulion",
+    "kmeans_clusters",
+    "ann_lsh_topk",
 ]
 
 
