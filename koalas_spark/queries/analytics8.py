@@ -1167,3 +1167,75 @@ def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY qty_band(l_quantity)
         """
     )
+
+
+# --------------------------------------------------------------------
+# 208. per-group OLS regression — closed-form slope/intercept of
+# extendedprice on quantity per supplier nation, the canonical
+# "grouped model fit" a feature/analytics pipeline runs in one agg
+# pass (no MLlib, no iteration): slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²).
+# Portability recipe: x, y are exact cents (half-up via
+# floor(v*100+0.5)), the five moments accumulate as DECIMAL(25,0)
+# (order-independent exact sums — the repo's decimal-sum device), and
+# only then does ONE fixed sequence of double ops produce the
+# coefficients, so both engines compute identical IEEE results from
+# identical integers. Scale: one partial-aggregable shuffle keyed by
+# nation (map-side combine does nearly all the work), supplier/nation
+# dims broadcast — the textbook 100 TB aggregation shape.
+@query(
+    "grouped_ols_regression",
+    oracle="""
+WITH base AS (
+  SELECT n.n_name AS nation,
+         CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+m AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(25,0))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(25,0))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(25,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(25,0))) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM base GROUP BY nation)
+SELECT nation, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM m
+""",
+)
+def grouped_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.plans.session import dim
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = li.join(dim(s, "supplier"), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        dim(n, "nation"), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    d = lambda c: F.sum(c.cast("decimal(25,0)")).cast("string").cast("double")
+    m = base.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d(F.col("x")).alias("sx"),
+        d(F.col("y")).alias("sy"),
+        d(F.col("x") * F.col("y")).alias("sxy"),
+        d(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "nation",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
