@@ -60,7 +60,14 @@ def kmeans_lloyd(
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long")
     )
-    base = df.select(F.col(id_col).alias("id"), qv.alias("q"))
+    # lazy checkpoint: every iteration (and the final assignment) maps
+    # over the quantized corpus — materialize it once as local blocks
+    # instead of re-running scan+quantize iters+1 times (the standard
+    # iterative-algorithm trade: executor-local storage for the
+    # working set vs re-reading the source each round)
+    base = df.select(F.col(id_col).alias("id"), qv.alias("q")).localCheckpoint(
+        eager=False
+    )
     centroids = [
         [int(x) for x in r.q] for r in base.orderBy("id").limit(k).collect()
     ]
