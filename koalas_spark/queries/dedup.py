@@ -50,10 +50,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mins → 16-band bucketing (with the 1000 cap) → candidate pairs →
 # exact-Jaccard verify, value-for-value (previously rows-only: the
 # xxhash64 perm family was Spark-specific).
-@query(
-    "dedup_minhash_lsh",
-    oracle="""
-WITH sh AS MATERIALIZED (
+# shared oracle CTE prefix: portable shingle hashes (sh) and 64-perm
+# minhash signatures (sig) — replays shingle_sets + minhash_sigs
+# exactly; used by #38 and the incremental #209
+_MH_SIG_CTES = """sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct(list_transform(
              list_transform(range(1, GREATEST(LEN(toks) - 1, 1)),
@@ -68,7 +68,13 @@ sig AS MATERIALIZED (
            list_min(list_transform(hs, h ->
              (((2654435761 * (2*i + 1)) % 2147483648) * (h % 2147483648)
               + ((40503 * (i + 12345)) % 2147483648)) % 2147483648))) AS sig
-  FROM sh),
+  FROM sh)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_MH_SIG_CTES},
 bnd AS MATERIALIZED (
   SELECT doc_id, p,
          [sig[4*p+1], sig[4*p+2], sig[4*p+3], sig[4*p+4]] AS key
@@ -551,4 +557,94 @@ def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+# --------------------------------------------------------------------
+# 209. incremental NEAR-dup against a signature catalog — the daily
+# production shape #138 covers for exact dup, extended to near-dup:
+# yesterday's corpus is represented ONLY by its minhash signatures
+# (64 longs/doc — the text is gone), today's batch computes its own
+# signatures, probes the catalog's band buckets, and verifies by
+# SIGNATURE AGREEMENT (matching slots / 64 is the unbiased Jaccard
+# estimator — with no catalog text, sketch-vs-sketch is the only
+# verify available, which is exactly how production catalogs work).
+# One band-keyed shuffle; signatures are the only state that persists
+# day over day. Catalog simulated as doc_id < 250 (same convention as
+# #138). Keeps the best catalog match per new doc (max agreement,
+# ties to the lowest catalog id), n_agree >= 32 (est J >= 0.5).
+@query(
+    "incremental_neardup_minhash",
+    oracle=f"""
+WITH {_MH_SIG_CTES},
+cb AS MATERIALIZED (
+  SELECT doc_id, p, [sig[4*p+1], sig[4*p+2], sig[4*p+3], sig[4*p+4]] AS key
+  FROM sig, unnest(range(0, 16)) AS u(p) WHERE doc_id < 250),
+bb AS MATERIALIZED (
+  SELECT doc_id, p, [sig[4*p+1], sig[4*p+2], sig[4*p+3], sig[4*p+4]] AS key
+  FROM sig, unnest(range(0, 16)) AS u(p) WHERE doc_id >= 250),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+  FROM bb b JOIN cb c ON b.p = c.p AND b.key = c.key),
+ag AS (
+  SELECT new_id, old_id,
+         CAST(LEN(list_filter(range(1, 65), i -> bs.sig[i] = cs.sig[i]))
+              AS BIGINT) AS n_agree
+  FROM cand JOIN sig bs ON bs.doc_id = cand.new_id
+            JOIN sig cs ON cs.doc_id = cand.old_id)
+SELECT new_id, old_id, n_agree FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                               ORDER BY n_agree DESC, old_id ASC) AS rk
+  FROM ag WHERE n_agree >= 32) t
+WHERE rk = 1
+""",
+)
+def incremental_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
+
+    H, BANDS, ROWS = 250, 16, 4
+    docs = _t(spark, sf_dir, "documents")
+    base = shingle_sets(docs, "doc_id", "text")
+    # one signature pass over ALL docs (in production the catalog side
+    # is READ from yesterday's sig store, not recomputed — simulated
+    # here by splitting one computed table); checkpoint: band explode
+    # + slot-compare verify both consume it
+    sigs = minhash_sigs(base, num_perm=64).localCheckpoint(eager=False)
+
+    def bands(df, out):
+        return df.select(
+            F.col("id").alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("p"),
+                            F.array(
+                                *[F.col("sig")[p * ROWS + r] for r in range(ROWS)]
+                            ).alias("key"),
+                        )
+                        for p in range(BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out, "bk.p", "bk.key")
+    cat = bands(sigs.filter(F.col("id") < H), "old_id")
+    bat = bands(sigs.filter(F.col("id") >= H), "new_id")
+    cand = bat.join(cat, ["p", "key"]).select("new_id", "old_id").distinct()
+    bs = sigs.select(F.col("id").alias("new_id"), F.col("sig").alias("_bs"))
+    cs = sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("_cs"))
+    agree = F.size(
+        F.filter(F.zip_with(F.col("_bs"), F.col("_cs"), lambda a, b: a == b), lambda x: x)
+    ).cast("long")
+    ag = (
+        cand.join(bs, "new_id")
+        .join(cs, "old_id")
+        .select("new_id", "old_id", agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= 32)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("n_agree"), F.asc("old_id"))
+    return (
+        ag.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("new_id", "old_id", "n_agree")
     )
