@@ -274,3 +274,23 @@ def test_neardup_embedding_block_gate(spark):
     e_pairs = {(r["vec_a"], r["vec_b"]) for r in exact.collect()}
     c_pairs = {(r["vec_a"], r["vec_b"]) for r in celled.collect()}
     assert c_pairs <= e_pairs
+
+
+def test_incremental_neardup_minhash_planted(spark, tmp_path):
+    """Catalog doc 0, batch docs 300 (near-dup of 0) and 301
+    (unrelated): the incremental probe must match 300 -> 0 with high
+    slot agreement and must not match 301."""
+    from koalas_spark.queries.dedup import incremental_neardup_minhash
+
+    rows = [
+        (0, BASE),
+        (300, BASE.replace("fast", "quick")),
+        (301, "completely different content about cooking recipes and baking bread at home with yeast flour water salt and patience"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {r.new_id: (r.old_id, r.n_agree) for r in incremental_neardup_minhash(spark, sf_dir).collect()}
+    assert 300 in got and got[300][0] == 0 and got[300][1] >= 32
+    assert 301 not in got
