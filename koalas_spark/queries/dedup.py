@@ -573,9 +573,9 @@ def neardup_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # day over day. Catalog simulated as doc_id < 250 (same convention as
 # #138). Keeps the best catalog match per new doc (max agreement,
 # ties to the lowest catalog id), n_agree >= 32 (est J >= 0.5).
-@query(
-    "incremental_neardup_minhash",
-    oracle=f"""
+# shared with the streaming twin (#210, queries/streaming.py): the
+# bounded stream replay must equal this exact batch result
+INC_NEARDUP_ORACLE = f"""
 WITH {_MH_SIG_CTES},
 cb AS MATERIALIZED (
   SELECT doc_id, p, [sig[4*p+1], sig[4*p+2], sig[4*p+3], sig[4*p+4]] AS key
@@ -597,8 +597,10 @@ SELECT new_id, old_id, n_agree FROM (
                                ORDER BY n_agree DESC, old_id ASC) AS rk
   FROM ag WHERE n_agree >= 32) t
 WHERE rk = 1
-""",
-)
+"""
+
+
+@query("incremental_neardup_minhash", oracle=INC_NEARDUP_ORACLE)
 def incremental_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
 

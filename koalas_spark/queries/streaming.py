@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _dsum_sql
+from koalas_spark.queries.dedup import INC_NEARDUP_ORACLE as _INC_ORACLE
 from koalas_spark.streaming import stream_tumbling_counts
 
 
@@ -256,3 +257,18 @@ def stream_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.stateful import stream_locf
 
     return stream_locf(spark, f"{sf_dir}/events.parquet")
+
+
+# 210. streaming incremental near-dedup — the streaming twin of batch
+# #209: new docs stream in, compute minhash signatures in-flight (the
+# Arrow kernel runs unchanged on streaming frames), probe the STATIC
+# catalog's band buckets via stream-static joins, verify by slot
+# agreement, and keep each doc's best catalog match in a single
+# complete-mode aggregate (band-duplicate candidates collapse in the
+# max — no streaming DISTINCT needed). Bounded replay == the batch
+# result, so it shares #209's oracle verbatim.
+@query("stream_incremental_neardup", oracle=_INC_ORACLE)
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_incremental_neardup as op
+
+    return op(spark, f"{sf_dir}/documents.parquet")

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 
 def _staged_events_stream(
-    spark: SparkSession, events_path: str, prefix: str, with_stage_dir: bool = False
+    spark: SparkSession,
+    events_path: str,
+    prefix: str,
+    with_stage_dir: bool = False,
+    normalize: bool = True,
 ):
     """readStream over a single (read-only) parquet file: the file
     streaming source monitors a directory, so the input is staged
@@ -51,7 +55,9 @@ def _staged_events_stream(
         if not os.path.exists(link):
             os.symlink(p, link)
     src = spark.readStream.schema(schema).parquet(stage)
-    out = normalize_event_time(src)
+    # normalize=False for sources without an event-time column
+    # (e.g. the documents table)
+    out = normalize_event_time(src) if normalize else src
     # with_stage_dir: callers that inject watermark-advance sentinel
     # files mid-run (stream_sessionize) need the monitored dir
     return (out, stage) if with_stage_dir else out
@@ -349,4 +355,103 @@ def stream_sliding_counts(
         lambda t: t.select(
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         ),
+    )
+
+
+def stream_incremental_neardup(
+    spark: SparkSession,
+    docs_path: str,
+    catalog_split: int = 250,
+    bands: int = 16,
+    rows: int = 4,
+    min_agree: int = 32,
+) -> DataFrame:
+    """Streaming incremental near-dedup against a STATIC minhash
+    catalog — the streaming twin of batch #209: new documents arrive
+    as a stream, compute their signatures in-flight (the vectorized
+    Arrow minhash kernel runs unchanged on streaming frames), probe
+    the catalog's band buckets via a stream-static join, and verify by
+    signature slot agreement. No DISTINCT on candidates is needed:
+    a pair surfacing through several bands collapses in the final
+    per-doc max aggregate, which also keeps the query single-stateful
+    (one agg) — the shape streaming engines optimize for. Complete
+    output mode keyed by new doc id: state is one row per matched doc
+    (production would age it out with a watermark on arrival time).
+    The catalog sides are static frames recomputed per micro-batch and
+    broadcast under AQE when small, exactly like the other
+    stream-static joins here."""
+    from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
+
+    num_perm = bands * rows
+
+    # static catalog: signatures + band keys for doc_id < split
+    static_docs = spark.read.parquet(docs_path).filter(
+        F.col("doc_id") < catalog_split
+    )
+    cat_sigs = minhash_sigs(
+        shingle_sets(static_docs, "doc_id", "text"), num_perm=num_perm
+    ).localCheckpoint(eager=False)
+
+    def band_keys(df, out, carry_sig=None):
+        # carry_sig: keep the signature ON the exploded rows — the
+        # stream side must not join back onto itself (stream-stream
+        # joins are illegal under complete mode; carrying the column
+        # avoids the join entirely and a shuffle besides)
+        cols = [F.col("id").alias(out)] + (
+            [F.col("sig").alias(carry_sig)] if carry_sig else []
+        )
+        proj = [out, "bk.p", "bk.key"] + ([carry_sig] if carry_sig else [])
+        return df.select(
+            *cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("p"),
+                            F.array(
+                                *[F.col("sig")[p * rows + r] for r in range(rows)]
+                            ).alias("key"),
+                        )
+                        for p in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(*proj)
+
+    cat_bands = band_keys(cat_sigs, "old_id")
+    cat_full = cat_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("_cs"))
+
+    src = _staged_events_stream(spark, docs_path, "incnd", normalize=False)
+    batch_docs = src.filter(F.col("doc_id") >= catalog_split)
+    bat_sigs = minhash_sigs(
+        shingle_sets(batch_docs, "doc_id", "text"), num_perm=num_perm
+    )
+    bat_bands = band_keys(bat_sigs, "new_id", carry_sig="_bs")
+
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_bs"), F.col("_cs"), lambda a, b: a == b), lambda x: x
+        )
+    ).cast("long")
+    cand = (
+        bat_bands.join(cat_bands, ["p", "key"])
+        .join(cat_full, "old_id")
+        .select("new_id", "old_id", agree.alias("n_agree"))
+        .filter(F.col("n_agree") >= min_agree)
+    )
+    # best catalog match per new doc: max n_agree, ties to the LOWEST
+    # old_id — encoded as max(struct(n_agree, -old_id)) so duplicate
+    # candidates from multiple bands collapse for free
+    best = cand.groupBy("new_id").agg(
+        F.max(F.struct(F.col("n_agree"), (-F.col("old_id")).alias("_no"))).alias("_b")
+    )
+    return _run_to_memory(
+        spark,
+        best,
+        lambda t: t.select(
+            "new_id",
+            (-F.col("_b._no")).alias("old_id"),
+            F.col("_b.n_agree").alias("n_agree"),
+        ),
+        output_mode="complete",
     )
