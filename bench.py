@@ -100,10 +100,13 @@ HEADLINE = [
     "multimodal_gif_roundtrip",
     "ann_rq_topk",
     # r7 additions: the DOULION sampled triangle path (vs the exact
-    # plan above), quantized-grid Lloyd, portable-hash LSH ANN
+    # plan above), quantized-grid Lloyd, portable-hash LSH ANN,
+    # catalog-probing incremental near-dedup, grouped OLS
     "triangle_count_doulion",
     "kmeans_clusters",
     "ann_lsh_topk",
+    "incremental_neardup_minhash",
+    "grouped_ols_regression",
 ]
 
 

@@ -63,3 +63,29 @@ def test_kmeans_objective_decreases(spark):
     # grid re-quantization of each centroid can cost up to half a step
     # per component, so allow a hair of slack on strict monotonicity
     assert s3 <= s1 * 1.01
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Two identical init vectors: in iteration 1 the duplicate
+    centroid (higher cluster id) wins nothing (ties break low), so its
+    cluster is EMPTY — the update must keep its previous centroid
+    rather than KeyError or silently collapse to k-1 clusters. The
+    kept [0,0] centroid then legitimately wins back the exact-zero
+    points once centroid 0 drifts toward its cluster mean, so the
+    deterministic fixpoint is {0,1} | {4} | {2,3} with all three
+    clusters in use."""
+    from koalas_spark.operators.clustering import kmeans_lloyd
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),      # duplicate of init centroid 0
+        (2, [1.0, 1.0]),
+        (3, [1.01, 1.01]),
+        (4, [0.02, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r.cluster for r in kmeans_lloyd(df, "vec_id", "embedding", k=3, iters=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0] == out[1]            # exact-zero pair stays together
+    assert out[2] == out[3]            # far pair stays together
+    assert len({out[0], out[2], out[4]}) == 3  # no cluster collapse
