@@ -650,3 +650,96 @@ def incremental_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("new_id", "old_id", "n_agree")
     )
+
+
+# --------------------------------------------------------------------
+# 211. paragraph-level cross-doc dedup WITH reassembly — the
+# RefinedWeb/CCNet repeated-passage removal stage: instead of dropping
+# whole near-dup documents, drop only the repeated PASSAGES and stitch
+# the unique remainder back together. Passages are fixed 20-token
+# segments (the corpus is a flat token stream — no newline paragraph
+# marks — so the segmenter is positional, which is also what byte-range
+# passage dedup does over web dumps whose paragraph structure was lost
+# upstream). First occurrence globally wins: a segment instance
+# survives iff it carries the minimum (doc_id, seg_idx) in its md5
+# class. 100 TB plan shape: segmentation is pure codegen
+# (sequence→transform→slice, no UDF, no shuffle); shuffle #1 keys on
+# the segment md5 (uniform 128-bit key — no skew by construction);
+# shuffle #2 re-groups by doc_id for reassembly. Nothing is ever
+# quadratic and no pass carries the corpus twice; the only seam is the
+# keeper ordinal doc_id*100000+seg_idx, which assumes <100k segments
+# per doc (2M tokens — far beyond any web doc; a struct min_by would
+# lift it).
+@query(
+    "paragraph_dedup_reassemble",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(toks[(i*20+1):(i*20+20)], ' ') AS seg,
+         CAST(LEN(toks[(i*20+1):(i*20+20)]) AS BIGINT) AS seg_tok
+  FROM t, UNNEST(range(0, CAST(CEIL(LEN(toks)/20.0) AS BIGINT))) AS u(i)),
+kp AS (
+  SELECT doc_id, seg_idx, seg, seg_tok,
+         doc_id*100000 + seg_idx = MIN(doc_id*100000 + seg_idx)
+             OVER (PARTITION BY md5(seg)) AS kept
+  FROM seg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN kept THEN seg_tok END), 0) AS BIGINT)
+           AS clean_tokens,
+       md5(COALESCE(string_agg(CASE WHEN kept THEN seg END, ' '
+                               ORDER BY seg_idx), '')) AS clean_fp
+FROM kp GROUP BY doc_id
+""",
+)
+def paragraph_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SEG = 20
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("toks") - 1) / SEG).cast("bigint")),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(F.col("toks"), (i * SEG + 1).cast("int"), SEG), " "
+            ).alias("seg"),
+            F.size(F.slice(F.col("toks"), (i * SEG + 1).cast("int"), SEG))
+            .cast("long")
+            .alias("seg_tok"),
+        ),
+    )
+    seg = t.select(
+        "doc_id", F.posexplode(segs_arr).alias("seg_idx", "s")
+    ).select(
+        "doc_id",
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.col("s.seg").alias("seg"),
+        F.col("s.seg_tok").alias("seg_tok"),
+    )
+    ordv = F.col("doc_id") * 100000 + F.col("seg_idx")
+    kp = seg.withColumn(
+        "kept",
+        ordv == F.min(ordv).over(Window.partitionBy(F.md5(F.col("seg")))),
+    )
+    return kp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("seg_tok"))), F.lit(0))
+        .cast("long")
+        .alias("clean_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("seg_idx", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )

@@ -294,3 +294,28 @@ def test_incremental_neardup_minhash_planted(spark, tmp_path):
     got = {r.new_id: (r.old_id, r.n_agree) for r in incremental_neardup_minhash(spark, sf_dir).collect()}
     assert 300 in got and got[300][0] == 0 and got[300][1] >= 32
     assert 301 not in got
+
+
+def test_paragraph_dedup_reassemble_planted(spark, tmp_path):
+    """Doc 0 = A+B, doc 1 = A+C (A a full 20-token segment): doc 1
+    must drop its copy of A and reassemble to exactly C; doc 0 keeps
+    everything."""
+    import hashlib
+
+    from koalas_spark.queries.dedup import paragraph_dedup_reassemble
+
+    seg_a = " ".join(f"a{i}" for i in range(20))
+    seg_b = " ".join(f"b{i}" for i in range(20))
+    seg_c = " ".join(f"c{i}" for i in range(20))
+    rows = [(0, f"{seg_a} {seg_b}"), (1, f"{seg_a} {seg_c}")]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {
+        r.doc_id: r for r in paragraph_dedup_reassemble(spark, sf_dir).collect()
+    }
+    assert got[0].n_dropped == 0 and got[0].clean_tokens == 40
+    assert got[0].clean_fp == hashlib.md5(f"{seg_a} {seg_b}".encode()).hexdigest()
+    assert got[1].n_dropped == 1 and got[1].clean_tokens == 20
+    assert got[1].clean_fp == hashlib.md5(seg_c.encode()).hexdigest()
