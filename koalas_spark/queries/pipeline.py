@@ -337,6 +337,58 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _distributed_prior(t: DataFrame, blk_sz: int = 1024) -> DataFrame:
+    """Exclusive global prefix sum of `tok` in doc_id order, as a
+    DISTRIBUTED three-level rollup (shared by #118 and #212).
+
+    A naive single window over ORDER BY doc_id serializes the whole
+    corpus through one partition — the classic 100 TB trap. Here
+    per-block token totals (block = doc_id div 1024) roll up to a
+    superblock level; only the level-3 window over superblocks is
+    unpartitioned, and it holds |corpus|/2^20 rows (~1e5 rows even at
+    1e11 docs). Per-task row bound anywhere in this plan:
+    max(1024, |corpus|/2^20). Computes the IDENTICAL order-dependent
+    cumsum a plain global window would (that's the oracle).
+    """
+    from pyspark.sql import Window
+
+    t = t.withColumn("blk", F.floor(F.col("doc_id") / blk_sz))
+    blk_tot = t.groupBy("blk").agg(F.sum("tok").alias("bt"))
+    blk_tot = blk_tot.withColumn("sblk", F.floor(F.col("blk") / blk_sz))
+    sblk_tot = blk_tot.groupBy("sblk").agg(F.sum("bt").alias("st"))
+    w_sblk = Window.orderBy("sblk").rowsBetween(Window.unboundedPreceding, -1)
+    sblk_offs = sblk_tot.select(
+        "sblk", F.coalesce(F.sum("st").over(w_sblk), F.lit(0)).alias("sblk_prior")
+    )
+    w_blk = (
+        Window.partitionBy("sblk")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        blk_tot.withColumn(
+            "blk_prior_within", F.coalesce(F.sum("bt").over(w_blk), F.lit(0))
+        )
+        .join(F.broadcast(sblk_offs), "sblk")
+        .select(
+            "blk", (F.col("blk_prior_within") + F.col("sblk_prior")).alias("blk_prior")
+        )
+    )
+    w_doc = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("tok").over(w_doc), F.lit(0)) + F.col("blk_prior")
+    # no forced broadcast: offs is |corpus|/1024 rows (GBs at 1e11 docs).
+    # AQE broadcasts it while it's small and falls back to a shuffled join
+    # once it isn't — both plans are correct.
+    return t.join(offs, "blk").withColumn("prior", prior).drop(
+        "blk", "sblk", "blk_prior"
+    )
+
+
+
 # --------------------------------------------------------------------
 # 118. token-budget shard packing — assign docs (in stable doc_id
 # order) to training shards of ~4096 tokens via a DISTRIBUTED prefix
@@ -368,53 +420,13 @@ FROM c GROUP BY shard
 """,
 )
 def doc_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from koalas_spark.functions.textfn import token_count
 
     d = _t(spark, sf_dir, "documents")
-    cap, blk_sz = 4096, 1024
-    t = d.select(
-        "doc_id",
-        token_count(F.col("text")).alias("tok"),
-        F.floor(F.col("doc_id") / blk_sz).alias("blk"),
-    )
-    blk_tot = t.groupBy("blk").agg(F.sum("tok").alias("bt"))
-    # Three-level prefix sum. Level 2 rolls 1024 blocks into a superblock;
-    # only the level-3 window over superblocks is unpartitioned, and it
-    # holds |corpus|/2^20 rows (~1e5 rows even at 1e11 docs). Per-task row
-    # bound anywhere in this plan: max(1024, |corpus|/2^20).
-    blk_tot = blk_tot.withColumn("sblk", F.floor(F.col("blk") / blk_sz))
-    sblk_tot = blk_tot.groupBy("sblk").agg(F.sum("bt").alias("st"))
-    w_sblk = Window.orderBy("sblk").rowsBetween(Window.unboundedPreceding, -1)
-    sblk_offs = sblk_tot.select(
-        "sblk", F.coalesce(F.sum("st").over(w_sblk), F.lit(0)).alias("sblk_prior")
-    )
-    w_blk = (
-        Window.partitionBy("sblk")
-        .orderBy("blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = (
-        blk_tot.withColumn(
-            "blk_prior_within", F.coalesce(F.sum("bt").over(w_blk), F.lit(0))
-        )
-        .join(F.broadcast(sblk_offs), "sblk")
-        .select(
-            "blk", (F.col("blk_prior_within") + F.col("sblk_prior")).alias("blk_prior")
-        )
-    )
-    w_doc = (
-        Window.partitionBy("blk")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior = F.coalesce(F.sum("tok").over(w_doc), F.lit(0)) + F.col("blk_prior")
-    # no forced broadcast: offs is |corpus|/1024 rows (GBs at 1e11 docs).
-    # AQE broadcasts it while it's small and falls back to a shuffled join
-    # once it isn't — both plans are correct.
-    packed = t.join(offs, "blk").select(
-        "doc_id", "tok", F.floor(prior / cap).alias("shard")
+    cap = 4096
+    t = d.select("doc_id", token_count(F.col("text")).alias("tok"))
+    packed = _distributed_prior(t).select(
+        "doc_id", "tok", F.floor(F.col("prior") / cap).alias("shard")
     )
     return packed.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -952,3 +964,61 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return stats(small, "small").unionByName(stats(big, "compacted"))
+
+
+# --------------------------------------------------------------------
+# 212. systematic PPS (probability-proportional-to-size) corpus
+# sampling — the "give me a ~1/1000-of-the-token-budget sample where a
+# doc's inclusion chance is proportional to its token count" stage of
+# a training-data pipeline (long docs matter more per draw; uniform
+# doc sampling under-represents them). Classic systematic PPS: lay
+# every doc's tokens end-to-end in stable doc_id order and take one
+# hit at every multiple of S=1000 tokens; a doc is drawn with
+# multiplicity = number of grid points its token interval covers
+# (docs longer than S are drawn with certainty, exactly the
+# with-replacement PPS semantics). Fully integer — no rand(), no
+# floats — so the sample is reproducible across engines, re-runs, and
+# partitionings. The global token offset reuses #118's distributed
+# three-level prefix sum (one tiny unpartitioned window over
+# |corpus|/2^20 superblock rows); everything else is a per-row
+# predicate. Oracle: the plain global-window cumsum formulation.
+@query(
+    "pps_token_sample",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tok_offset
+  FROM t)
+SELECT doc_id, tok, tok_offset,
+       CAST((tok_offset + tok) // 1000 - tok_offset // 1000 AS BIGINT)
+           AS n_hits
+FROM c
+WHERE (tok_offset + tok) // 1000 - tok_offset // 1000 > 0
+""",
+)
+def pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import token_count
+
+    S = 1000
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count(F.col("text")).alias("tok"))
+    p = _distributed_prior(t)
+    n_hits = (
+        F.floor((F.col("prior") + F.col("tok")) / S) - F.floor(F.col("prior") / S)
+    ).cast("long")
+    return (
+        p.withColumn("n_hits", n_hits)
+        .filter(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("prior").cast("long").alias("tok_offset"),
+            "n_hits",
+        )
+    )

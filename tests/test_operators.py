@@ -319,3 +319,24 @@ def test_paragraph_dedup_reassemble_planted(spark, tmp_path):
     assert got[0].clean_fp == hashlib.md5(f"{seg_a} {seg_b}".encode()).hexdigest()
     assert got[1].n_dropped == 1 and got[1].clean_tokens == 20
     assert got[1].clean_fp == hashlib.md5(seg_c.encode()).hexdigest()
+
+
+def test_pps_token_sample_planted(spark, tmp_path):
+    """Token layout: doc0 [0,500), doc1 [500,2000), doc2 [2000,2300).
+    Grid points at 1000 and 2000 both land inside doc1's interval, so
+    doc1 is drawn with multiplicity 2 and the others not at all."""
+    from koalas_spark.queries.pipeline import pps_token_sample
+
+    rows = [
+        (0, " ".join(["w"] * 500)),
+        (1, " ".join(["w"] * 1500)),
+        (2, " ".join(["w"] * 300)),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = pps_token_sample(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_id, r.tok, r.tok_offset, r.n_hits) == (1, 1500, 500, 2)
