@@ -71,6 +71,7 @@ def _load() -> None:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         corpus,
         graphq,
         layout,
