@@ -131,6 +131,10 @@ def stream_sessionize(spark: SparkSession, events_path: str) -> DataFrame:
         # column types (incl. the ts flavor) match the staged schema;
         # ts must clear max(ts) + 2*gap for EVERY user, so shift the max
         mx = batch_src.agg(F.max("ts")).first()[0]
+        if mx is None:
+            # empty source: nothing in state, no tail to flush — and
+            # limit(1) below would have no row to derive a sentinel from
+            return
         if ts_dtype == "bigint":  # nanos-as-long flavor
             new_ts = F.lit(int(mx) + gaps_ahead * GAP_SECONDS * 1_000_000_000)
         else:

@@ -340,3 +340,44 @@ def test_pps_token_sample_planted(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r.doc_id, r.tok, r.tok_offset, r.n_hits) == (1, 1500, 500, 2)
+
+
+def test_fuzzy_match_block_gate(spark):
+    """#215's blocking quadratic is size-gated (VERDICT r7 #2): when
+    any p_size block exceeds the limit, the key must refine to
+    (p_size, first-name-token); refined-key matches are a subset of
+    the coarse exact pairs (standard record-linkage recall tradeoff).
+    Under the default limit the coarse exact plan (oracle path) runs."""
+    from tests.conftest import SF_SMOKE
+    from koalas_spark.queries.analytics9 import (
+        _fuzzy_pairs,
+        fuzzy_match_parts_gated,
+    )
+    from koalas_spark.queries.analytics import _t
+
+    p = _t(spark, SF_SMOKE, "part").select("p_partkey", "p_name", "p_size")
+    coarse = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in _fuzzy_pairs(p, ["p_size"]).collect()
+    }
+
+    # every sf0.001 p_size block exceeds limit=1 -> refined-key path
+    gated = fuzzy_match_parts_gated(spark, SF_SMOKE, block_limit=1)
+    fine = {(r["key_a"], r["key_b"], r["dist"]) for r in gated.collect()}
+    assert fine <= coarse
+    # refined pairs agree with manually refining the key
+    import pyspark.sql.functions as F
+
+    p2 = p.withColumn("blk2", F.split(F.col("p_name"), " ").getItem(0))
+    manual = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in _fuzzy_pairs(p2, ["p_size", "blk2"]).collect()
+    }
+    assert fine == manual
+
+    # default limit far above sf0.001 blocks -> coarse exact plan
+    deflt = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in fuzzy_match_parts_gated(spark, SF_SMOKE).collect()
+    }
+    assert deflt == coarse

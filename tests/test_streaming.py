@@ -124,3 +124,18 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path):
         .collect()
     }
     assert state == want
+
+
+def test_stream_sessionize_empty_source(spark, tmp_path):
+    """An empty events source must yield an empty result, not crash in
+    the sentinel tail-flush (ADVICE r7: agg(max(ts)) returns None)."""
+    import pyspark.sql.functions as F
+
+    from koalas_spark.streaming.stateful import stream_sessionize
+
+    empty = str(tmp_path / "empty_events")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").limit(0).write.parquet(
+        empty
+    )
+    out = stream_sessionize(spark, empty)
+    assert out.count() == 0

@@ -93,6 +93,20 @@ EXPECTED = {
     # cumulative coverage over the ≤64-row log2-frequency bucket frame,
     # plus the 1-row total-mass frame cross-joined onto it
     "token_freq_spectrum": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # 2-row goals frame cross-joined onto the 2-row variant aggregate
+    "ab_test_conversion_lift": {"BroadcastNestedLoopJoin"},
+    # Arrow mapInPandas Gram kernel: one d x d int64 partial per batch
+    "embedding_covariance": {"Python"},
+    # prefix-min over the price_cents table — DOMAIN-bounded (~1.2e5
+    # distinct cents values at any corpus size), same bounded shape as
+    # doc_pack_shards' superblock window
+    "pareto_skyline_parts": {"GlobalWindow"},
+    # deliberate Spark-4 UDTF demo: a LATERAL table function is
+    # row-wise Python BY DEFINITION (one row fans out imperatively).
+    # Gated to lang='en'; the in-code guidance points hot paths at
+    # explode(split()) (#53). This is the ONLY allowed row-wise entry —
+    # BatchEvalPython anywhere else still fails the audit.
+    "udtf_term_counts": {"BatchEvalPython"},
 }
 
 # streaming queries execute at construction; their returned frame is a
@@ -133,7 +147,13 @@ def inspect_plan(plan: str, name: str) -> dict:
     unexpected = [
         f for f in flags if not any(f.startswith(e) for e in EXPECTED.get(name, set()))
     ]
-    if "BatchEvalPython(row-wise!)" in flags:
+    # row-wise Python is banned EXCEPT for queries that explicitly
+    # allowlist BatchEvalPython above (today: only the UDTF demo,
+    # whose operator shape is row-wise by definition)
+    if (
+        "BatchEvalPython(row-wise!)" in flags
+        and "BatchEvalPython" not in EXPECTED.get(name, set())
+    ):
         unexpected.append("row-wise-python")
     n_bc = plan.count("BroadcastExchange")
     return {
