@@ -107,6 +107,29 @@ HEADLINE = [
     "ann_lsh_topk",
     "incremental_neardup_minhash",
     "grouped_ols_regression",
+    # r8 additions: the seven r7-late operators (VERDICT r7 #3) —
+    # paragraph-level dedup, systematic PPS sampling, skyline,
+    # gated fuzzy matching, A/B lift, the Gram/covariance kernel,
+    # and the UDTF demo
+    "paragraph_dedup_reassemble",
+    "pps_token_sample",
+    "pareto_skyline_parts",
+    "fuzzy_match_parts",
+    "ab_test_conversion_lift",
+    "embedding_covariance",
+    "udtf_term_counts",
+    # r8 additions: growth/backlog prefix-sum shapes, exact-k hash
+    # sampling, Zipf fit, kNN vote, partition-pruned layout, JSONL
+    # round-trip, degree histogram, tolerance as-of
+    "cumulative_distinct_users",
+    "orders_backlog_daily",
+    "doc_sample_exact_k",
+    "zipf_alpha_fit",
+    "knn_label_vote",
+    "partitioned_write_prune",
+    "jsonl_roundtrip_stats",
+    "degree_distribution_copurchase",
+    "asof_join_tolerance",
 ]
 
 
@@ -176,6 +199,36 @@ def run(sf_dir: str, names: list[str]) -> dict:
     }
 
 
+def emit(result: dict) -> str:
+    """One stdout JSON line that ALWAYS fits the driver's tail capture.
+
+    The driver records only the last ~2000 chars of stdout; r6 and r7
+    both landed as `parsed: null` because the full per-query line grew
+    past that window and its head was cut mid-JSON (VERDICT r7 #5).
+    The full-precision record goes to BENCH_local.json (committed each
+    round as BENCH_r{N}_local.json); the printed line keeps the spec
+    shape but budgets itself under 1900 chars — 2-decimal timings,
+    short metric, and if the registry has grown past what fits, the
+    cheapest per-query entries are dropped (noted via queries_omitted;
+    `value` stays the total over ALL queries)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    line = dict(result)
+    line["metric"] = "headline wall sec (min of 3-5 alternating samples)"
+    line["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+    s = json.dumps(line, separators=(",", ":"))
+    if len(s) > 1900:
+        heaviest = sorted(line["queries"].items(), key=lambda kv: -kv[1])
+        while len(s) > 1900 and heaviest:
+            heaviest.pop()
+            line["queries"] = dict(sorted(heaviest))
+            line["queries_omitted"] = len(result["queries"]) - len(heaviest)
+            line["queries_full"] = "BENCH_local.json"
+            s = json.dumps(line, separators=(",", ":"))
+    return s
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = HEADLINE
@@ -184,4 +237,4 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         if a.startswith("--queries="):
             names = a.split("=", 1)[1].split(",")
-    print(json.dumps(run(sf_dir, names)))
+    print(emit(run(sf_dir, names)))

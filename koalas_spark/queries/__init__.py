@@ -72,6 +72,7 @@ def _load() -> None:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         corpus,
         graphq,
         layout,

@@ -101,6 +101,15 @@ EXPECTED = {
     # distinct cents values at any corpus size), same bounded shape as
     # doc_pack_shards' superblock window
     "pareto_skyline_parts": {"GlobalWindow"},
+    # prefix sums over day-DOMAIN-bounded tables (~#days rows at any
+    # corpus size) — same bounded shape as mom_pct_change
+    "cumulative_distinct_users": {"GlobalWindow"},
+    "orders_backlog_daily": {"GlobalWindow"},
+    # rank window over the TakeOrdered top-500 token frame (bounded)
+    "zipf_alpha_fit": {"GlobalWindow"},
+    # built on the #42 brute-force baseline: probes broadcast onto the
+    # corpus without an equi key
+    "knn_label_vote": {"BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
