@@ -178,9 +178,15 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block fits under FUZZY_BLOCK_LIMIT; past it, the key refines to
 # (p_size, first-name-token) — record linkage's standard recall-vs-
 # block-size knob, and the finer key's block count GROWS with the
-# corpus (name vocabulary), so blocks stay bounded. At oracle SFs the
-# coarse exact path always runs, keeping the oracle exact.
-FUZZY_BLOCK_LIMIT = 20_000
+# corpus (name vocabulary), so blocks stay bounded. At oracle SFs
+# (0.001/0.01/0.1: max block <= ~400) the coarse exact path always
+# runs, keeping the registered oracle exact; the scaled sf1 replica
+# (max block ~4000) trips the gate — the refined path is value-checked
+# there against a refined-key oracle (SCALING.md round-8). The limit
+# is LOWER than NEARDUP's 20k because cost per block is pairs x
+# levenshtein(O(len^2)), not pairs x dot: 2000^2/2 = 2M candidate
+# pairs per block is already ~seconds of JVM codegen per block task.
+FUZZY_BLOCK_LIMIT = 2_000
 
 
 def _fuzzy_pairs(p: DataFrame, block_cols: list[str]) -> DataFrame:
