@@ -130,6 +130,11 @@ HEADLINE = [
     "jsonl_roundtrip_stats",
     "degree_distribution_copurchase",
     "asof_join_tolerance",
+    "exact_group_quantiles",
+    "event_cusum_deviation",
+    "source_contamination_matrix",
+    "rrf_fusion_retrieval",
+    "funnel_within_session",
 ]
 
 

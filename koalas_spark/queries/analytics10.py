@@ -477,3 +477,394 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("asof_orderkey")).alias("asof_orderkey"),
         F.when(in_window, F.col("asof_orderdate")).alias("asof_orderdate"),
     )
+
+
+# --------------------------------------------------------------------
+# 227. exact grouped quantiles WITHOUT a global sort — the classic
+# "exact median at scale" problem. Prices quantize to cents (DOMAIN-
+# bounded: ~1.2e5 distinct values at any corpus size), per-(group,
+# cents) counts aggregate with map-side combine, a cents-ordered
+# prefix sum per group runs over the domain-bounded histogram, and the
+# quantile is the smallest value whose cumulative count reaches the
+# discrete rank ceil(q*n) (DuckDB quantile_disc's convention, verified
+# empirically over n=4,5,7,10,1962 — the oracle is DuckDB's NATIVE
+# quantile, an independent formulation, not a replay).
+# approx_percentile trades exactness for one pass; this is exact in
+# two cheap passes.
+@query(
+    "exact_group_quantiles",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.5)
+            AS BIGINT) AS median_cents,
+       CAST(quantile_disc(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT), 0.9)
+            AS BIGINT) AS p90_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def exact_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    counts = li.groupBy("l_returnflag", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    tot = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    r50 = F.expr("(n + 1) div 2")  # ceil(0.5 n)
+    r90 = F.expr("(9 * n + 9) div 10")  # ceil(0.9 n)
+    return j.groupBy("l_returnflag", "n").agg(
+        F.min(F.when(F.col("cum") >= r50, F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.min(F.when(F.col("cum") >= r90, F.col("cents"))).alias("p90_cents"),
+    ).select("l_returnflag", "n", "median_cents", "p90_cents")
+
+
+# --------------------------------------------------------------------
+# 228. CUSUM changepoint deviation over daily event volume — the
+# monitoring classic: the day where the cumulative deviation from the
+# global mean peaks is the level-shift estimate. Fully INTEGER via
+# cross-multiplication: dev_i = nd * cumsum_i - i * total (both terms
+# bigint — no mean division, no floats, identical on both engines).
+# Daily counts are day-domain-bounded, so the prefix window and the
+# 1-row stats/peak cross-joins are all bounded shapes (same EXPECTED
+# classes as #218/#219).
+@query(
+    "event_cusum_deviation",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n_events) AS BIGINT) AS tot
+  FROM daily),
+c AS (
+  SELECT day, n_events,
+         CAST(SUM(n_events) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily),
+d AS (
+  SELECT day, n_events, st.nd * c.cum - c.i * st.tot AS cum_dev_scaled
+  FROM c CROSS JOIN st),
+mx AS (SELECT MAX(ABS(cum_dev_scaled)) AS m FROM d)
+SELECT day, n_events, cum_dev_scaled,
+       ABS(cum_dev_scaled) = mx.m AS is_peak
+FROM d CROSS JOIN mx
+""",
+)
+def event_cusum_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n_events").cast("bigint").alias("tot"),
+    )
+    w = Window.orderBy("day")
+    c = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    d = c.crossJoin(F.broadcast(st)).select(
+        "day",
+        "n_events",
+        (F.col("nd") * F.col("cum") - F.col("i") * F.col("tot")).alias(
+            "cum_dev_scaled"
+        ),
+    )
+    mx = d.agg(F.max(F.abs(F.col("cum_dev_scaled"))).alias("m"))
+    return d.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "n_events",
+        "cum_dev_scaled",
+        (F.abs(F.col("cum_dev_scaled")) == F.col("m")).alias("is_peak"),
+    )
+
+
+# --------------------------------------------------------------------
+# 229. cross-source contamination matrix — pairwise 3-gram containment
+# between sources (train/eval leakage audit, the pairwise version of
+# #95's contamination check). Distinct (source, shingle) pairs shuffle
+# ONCE keyed by shingle; the pair stage is quadratic only in the
+# number of SOURCES sharing a shingle (domain-bounded — source count,
+# not corpus size), and containment = shared / min(|grams_a|,
+# |grams_b|) in exact integer ppm. Corpus rows never self-join.
+@query(
+    "source_contamination_matrix",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_distinct(list_transform(
+               range(1, GREATEST(LEN(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+             AS shingle
+    FROM (SELECT source, string_split_regex(TRIM(text), '\\s+') AS toks
+          FROM documents) t
+    WHERE LEN(toks) >= 3) u),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM sh GROUP BY source),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.src_a, p.src_b, p.shared,
+       CAST(1000000 * p.shared // LEAST(ta.t, tb.t) AS BIGINT) AS containment_ppm
+FROM p JOIN tot ta ON p.src_a = ta.source
+       JOIN tot tb ON p.src_b = tb.source
+""",
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "source", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).distinct()
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    p = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    return (
+        p.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            F.expr("CAST(1000000 * shared div least(ta, tb) AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 230. reciprocal-rank-fusion hybrid retrieval — the standard way to
+# combine a sparse (BM25) and a dense (embedding-cosine) ranking:
+# score(d) = Σ_systems 1e6 div (60 + rank_s(d)), summed over the
+# rankings that contain d (ranks from #148's integer BM25 for query 0
+# and #42's exact-cosine top-k for probe 0 — vec_id aligns with doc_id
+# in the synthetic corpus). Both input rankings are already
+# engine-exact; the fusion adds one full-outer join of two k-row
+# frames and an integer score — nothing scales with the corpus beyond
+# the input retrievers themselves.
+@query(
+    "rrf_fusion_retrieval",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS term
+             FROM documents),
+qt(term) AS (VALUES ('hash'), ('join'), ('dup')),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf
+       FROM tok JOIN qt USING (term) GROUP BY term, doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS dl
+       FROM documents),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+sparse AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM (
+    SELECT tf.doc_id,
+           SUM(((2 * (st.n - dfq.df) + 1) * 1000 // (2 * dfq.df + 1))
+               * ((22 * tf.tf * st.t * 1000)
+                  // (10 * tf.tf * st.t + 3 * st.t + 9 * dl.dl * st.n))) AS score
+    FROM tf JOIN dfq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN st
+    GROUP BY tf.doc_id) s
+  QUALIFY rk <= 20),
+dense AS (
+  SELECT neighbor_id AS doc_id, rk FROM (
+    SELECT c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (ORDER BY
+             ROUND(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / SQRT(list_dot_product(CAST(p.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[]))
+                        * list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 6) DESC,
+             c.vec_id ASC) AS rk
+    FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+    WHERE p.vec_id = 0) s
+  WHERE rk <= 20)
+SELECT doc_id, rk_sparse, rk_dense, rrf_score FROM (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         CAST(s.rk AS INT) AS rk_sparse, CAST(d.rk AS INT) AS rk_dense,
+         CAST(COALESCE(1000000 // (60 + s.rk), 0)
+              + COALESCE(1000000 // (60 + d.rk), 0) AS BIGINT) AS rrf_score
+  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id) f
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def rrf_fusion_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens, token_count
+    from koalas_spark.operators.similarity import brute_force_topk
+
+    d = _t(spark, sf_dir, "documents")
+    # sparse leg: #148's integer BM25 restricted to query 0's terms,
+    # ranked to depth 20 (see retrieval.py:70 for the scoring notes)
+    qt = spark.createDataFrame([("hash",), ("join",), ("dup",)], "term string")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+    idf_s = F.expr("(2 * (n - df) + 1) * 1000 div (2 * df + 1)")
+    tfnorm = F.expr("(22 * tf * t * 1000) div (10 * tf * t + 3 * t + 9 * dl * n)")
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.sum(idf_s * tfnorm).alias("score"))
+    )
+    # distributed top-20 FIRST (TakeOrdered — local top-k per partition,
+    # driver merge), THEN the rank window over the bounded 20-row frame;
+    # a row_number window straight over `scored` would funnel every
+    # matching doc through one task (the #221 zipf device)
+    top20 = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    ws = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    sparse = top20.select(
+        "doc_id", F.row_number().over(ws).alias("rk_sparse")
+    )
+    # dense leg: #42's exact-cosine ranking for probe vec 0, depth 20
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rk_dense")
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rk_sparse").cast("int").alias("rk_sparse"),
+        F.col("rk_dense").cast("int").alias("rk_dense"),
+        (
+            F.coalesce(
+                F.expr("1000000 div (60 + rk_sparse)"), F.lit(0)
+            )
+            + F.coalesce(F.expr("1000000 div (60 + rk_dense)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# --------------------------------------------------------------------
+# 231. in-session ordered funnel — #100's funnel constrained to happen
+# INSIDE one session and in order (view, then click, then purchase):
+# the question product analytics actually asks. One shuffle on
+# (user_id): the session id (#32's lag+cumsum), then three chained
+# cumulative-max windows over the SAME (user, session) partitioning
+# propagate "stage reached so far" down each session — ordered
+# containment without self-joins or per-stage re-shuffles (the three
+# window layers share one sort).
+@query(
+    "funnel_within_session",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events) a),
+c1 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sv
+  FROM s),
+c2 AS (
+  SELECT *, MAX(CASE WHEN event_type = 'click' AND sv = 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sc
+  FROM c1),
+c3 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND sc = 1 THEN 1 ELSE 0 END AS sp
+  FROM c2),
+g AS (
+  SELECT user_id, session_id, MAX(sv) AS hv, MAX(sc) AS hc, MAX(sp) AS hp
+  FROM c3 GROUP BY user_id, session_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(hv) AS BIGINT) AS n_view,
+       CAST(SUM(hc) AS BIGINT) AS n_view_click,
+       CAST(SUM(hp) AS BIGINT) AS n_full_funnel
+FROM g
+""",
+)
+def funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    s = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    wc = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    c1 = s.withColumn(
+        "sv",
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(wc),
+    )
+    c2 = c1.withColumn(
+        "sc",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("sv") == 1), 1
+            ).otherwise(0)
+        ).over(wc),
+    )
+    c3 = c2.withColumn(
+        "sp",
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("sc") == 1), 1
+        ).otherwise(0),
+    )
+    g = c3.groupBy("user_id", "session_id").agg(
+        F.max("sv").alias("hv"),
+        F.max("sc").alias("hc"),
+        F.max("sp").alias("hp"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("hv").cast("bigint").alias("n_view"),
+        F.sum("hc").cast("bigint").alias("n_view_click"),
+        F.sum("hp").cast("bigint").alias("n_full_funnel"),
+    )

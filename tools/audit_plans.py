@@ -110,6 +110,13 @@ EXPECTED = {
     # built on the #42 brute-force baseline: probes broadcast onto the
     # corpus without an equi key
     "knn_label_vote": {"BroadcastNestedLoopJoin"},
+    # prefix sum + row index over the day-domain daily table, plus two
+    # 1-row frames (corpus stats, peak deviation) cross-joined back
+    "event_cusum_deviation": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # rank windows over the bounded top-20 frames; BNLJ from the 1-row
+    # corpus-stats frame (bm25 leg) and the single-probe broadcast
+    # (dense leg)
+    "rrf_fusion_retrieval": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
