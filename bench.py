@@ -135,6 +135,12 @@ HEADLINE = [
     "source_contamination_matrix",
     "rrf_fusion_retrieval",
     "funnel_within_session",
+    "snapshot_diff",
+    "skew_audit_orders",
+    "stable_row_numbering",
+    "time_weighted_avg_value",
+    "decile_lift_table",
+    "audience_overlap_drift",
 ]
 
 

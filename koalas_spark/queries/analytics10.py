@@ -868,3 +868,342 @@ def funnel_within_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hc").cast("bigint").alias("n_view_click"),
         F.sum("hp").cast("bigint").alias("n_full_funnel"),
     )
+
+
+# --------------------------------------------------------------------
+# 232. snapshot diff — "what changed between table versions", the
+# lakehouse audit primitive on top of #176's manifest snapshots: keys
+# added/removed between v1 and v2 via two anti-joins (shuffle on the
+# key, no full-table compare). On the orders snapshot v2 adds the
+# >= 1995 slice and removes nothing, which the oracle states
+# independently from the raw table.
+@query(
+    "snapshot_diff",
+    oracle="""
+SELECT 'added' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS sum_keys
+FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+UNION ALL
+SELECT 'removed', 0, 0
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.queries.analytics7 import snapshot_time_travel
+    from koalas_spark.sources.snapshots import read_snapshot
+
+    # building #176's frame materializes the snapshot dir (idempotent)
+    snapshot_time_travel(spark, sf_dir)
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{os.stat(src).st_mtime_ns}"
+    path = os.path.join("/root/repo/.tmp", f"snap_orders_{tag}")
+    v1 = read_snapshot(spark, path, version=1).select("o_orderkey")
+    v2 = read_snapshot(spark, path, version=2).select("o_orderkey")
+
+    def _summ(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("change_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_keys"),
+        )
+
+    added = _summ(v2.join(v1, "o_orderkey", "left_anti"), "added")
+    removed = _summ(v1.join(v2, "o_orderkey", "left_anti"), "removed")
+    return added.unionByName(removed)
+
+
+# --------------------------------------------------------------------
+# 233. join-key skew audit — the profiling pass you run BEFORE a big
+# join: per-key counts for orders.o_custkey, then hot-key shares in
+# exact integer ppm. max via plain aggregate; the top-10 hot keys via
+# TakeOrdered (deterministic (count, key) tie-break) — no global sort,
+# and the skew decision (salt or not, AQE thresholds) reads straight
+# off max_share_ppm / top10_share_ppm.
+@query(
+    "skew_audit_orders",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey),
+t10 AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS top10 FROM (
+    SELECT cnt FROM c ORDER BY cnt DESC, o_custkey ASC LIMIT 10) s),
+st AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM c)
+SELECT st.n_rows, st.n_keys, st.max_cnt, t10.top10 AS top10_cnt,
+       CAST(1000000 * st.max_cnt // st.n_rows AS BIGINT) AS max_share_ppm,
+       CAST(1000000 * t10.top10 // st.n_rows AS BIGINT) AS top10_share_ppm
+FROM st CROSS JOIN t10
+""",
+)
+def skew_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    t10 = (
+        c.orderBy(F.col("cnt").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_cnt"))
+    )
+    st = c.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return st.crossJoin(F.broadcast(t10)).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        "top10_cnt",
+        F.expr("CAST(1000000 * max_cnt div n_rows AS BIGINT)").alias(
+            "max_share_ppm"
+        ),
+        F.expr("CAST(1000000 * top10_cnt div n_rows AS BIGINT)").alias(
+            "top10_share_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# 234. stable global row numbering — ROW_NUMBER() OVER (ORDER BY key)
+# WITHOUT the single-partition sort: #118/#212's shared three-level
+# distributed prefix sum (_distributed_prior) counts docs with smaller
+# doc_id (tok=1 per doc), so ordinal = prior + 1. Per-task row bound
+# anywhere in the plan is max(1024, |corpus|/2^20); the oracle is the
+# naive global window, proving the distributed formulation computes
+# the identical order-dependent numbering.
+@query(
+    "stable_row_numbering",
+    oracle="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS ordinal
+FROM documents
+""",
+)
+def stable_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.queries.pipeline import _distributed_prior
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lit(1).alias("tok")
+    )
+    return _distributed_prior(d).select(
+        "doc_id", (F.col("prior") + 1).cast("bigint").alias("ordinal")
+    )
+
+
+# --------------------------------------------------------------------
+# 235. time-weighted average value per user — the TWAP shape (billing,
+# exposure, position accounting): each observation holds until the
+# next one, so its weight is the interval length. LEAD over the
+# per-user time order (one shuffle, partitions bounded per user),
+# integer microsecond durations x 1e6-quantized values through exact
+# DECIMAL sums (products overflow int64 by design — decimal width is
+# the point), one fixed double division at the end.
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events),
+w AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_scaled, dur_us
+  FROM seq WHERE dur_us IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+       ROUND(CAST(CAST(SUM(CAST(v_scaled AS DECIMAL(25,0)) * dur_us) AS VARCHAR)
+                  AS DOUBLE)
+             / CAST(SUM(dur_us) AS DOUBLE) / 1000000.0, 6) AS twap
+FROM w GROUP BY user_id
+""",
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(wo)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    w = seq.select(
+        "user_id",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v_scaled"),
+        "dur_us",
+    )
+    wsum = (
+        F.sum(F.col("v_scaled").cast("decimal(25,0)") * F.col("dur_us"))
+        .cast("string")
+        .cast("double")
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.round(
+            wsum / F.sum("dur_us").cast("double") / F.lit(1000000.0), 6
+        ).alias("twap"),
+    )
+
+
+# --------------------------------------------------------------------
+# 236. decile lift table — the model-eval classic (rank customers by
+# spend, report conversion per decile). Exact-at-bucket-granularity
+# deciles via #227's device: per-customer spend quantizes to $100
+# buckets (DOMAIN-bounded histogram), decile boundaries are the 9
+# ceil(q*n) ranks off the bucket prefix sum, broadcast back as ONE
+# array row; decile assignment is a codegen array scan, conversion =
+# customer placed >= 1 URGENT order. No NTILE (a global-sort window),
+# no per-row quantile probes.
+@query(
+    "decile_lift_table",
+    oracle="""
+WITH s AS (
+  SELECT o.o_custkey,
+         CAST(FLOOR(SUM(o.o_totalprice) * 100 + 0.5) AS BIGINT) // 10000
+           AS bucket,
+         MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS urgent
+  FROM orders o GROUP BY o.o_custkey),
+h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY bucket),
+cumh AS (
+  SELECT bucket,
+         CAST(SUM(c) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM h),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+bnds AS (
+  SELECT q, MIN(bucket) AS bval
+  FROM cumh CROSS JOIN n
+  JOIN (SELECT unnest(range(1, 10)) AS q) qs
+    ON cum >= (q * n.n + 9) // 10
+  GROUP BY q),
+dec AS (
+  SELECT s.o_custkey, s.urgent,
+         1 + (SELECT COUNT(*) FROM bnds b WHERE b.bval < s.bucket) AS decile
+  FROM s)
+SELECT CAST(decile AS INT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(urgent) AS BIGINT) AS n_urgent,
+       CAST(1000000 * SUM(urgent) // COUNT(*) AS BIGINT) AS urgent_ppm
+FROM dec GROUP BY decile
+""",
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        (
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            / F.lit(10000)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("urgent"),
+    )
+    h = s.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cumh = h.select(
+        "bucket", F.sum("c").over(wb).cast("bigint").alias("cum")
+    )
+    n = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.range(1, 10).select(F.col("id").alias("q"))
+    bnds = (
+        cumh.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(qs),
+            F.col("cum") >= F.expr("(q * n + 9) div 10"),  # ceil(q*n/10)
+        )
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bval"))
+    )
+    arr = bnds.agg(F.sort_array(F.collect_list("bval")).alias("bnds"))
+    dec = s.crossJoin(F.broadcast(arr)).select(
+        "urgent",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col("bnds"), lambda b: b < F.col("bucket"))
+            )
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("urgent").cast("bigint").alias("n_urgent"),
+        F.expr(
+            "CAST(1000000 * sum(urgent) div count(1) AS BIGINT)"
+        ).alias("urgent_ppm"),
+    )
+
+
+# --------------------------------------------------------------------
+# 237. day-over-day audience overlap — retention/drift monitoring as
+# set similarity: distinct (day, user) pairs, the day-(day+1)
+# intersection via ONE user-keyed equi-join, Jaccard in exact integer
+# ppm over the day-domain-bounded result. The per-day user SETS are
+# never materialized per-pair — only counted — so the shuffle is the
+# distinct pass plus one join, both keyed by user.
+@query(
+    "audience_overlap_drift",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+tot AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS t FROM du GROUP BY day),
+inter AS (
+  SELECT a.day AS day, CAST(COUNT(*) AS BIGINT) AS i
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+  GROUP BY a.day)
+SELECT ta.day, ta.t AS users_day, tb.t AS users_next,
+       COALESCE(inter.i, 0) AS n_overlap,
+       CAST(1000000 * COALESCE(inter.i, 0)
+            // (ta.t + tb.t - COALESCE(inter.i, 0)) AS BIGINT) AS jaccard_ppm
+FROM tot ta
+JOIN tot tb ON tb.day = ta.day + 1
+LEFT JOIN inter ON inter.day = ta.day
+""",
+)
+def audience_overlap_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    tot = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    a = du
+    b = du.select(F.col("day").alias("day_b"), F.col("user_id"))
+    inter = (
+        a.join(
+            b,
+            (a["user_id"] == b["user_id"])
+            & (b["day_b"] == F.date_add(a["day"], 1)),
+        )
+        .groupBy(a["day"].alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    ta = tot
+    tb = tot.select(F.col("day").alias("day_tb"), F.col("t").alias("t_next"))
+    return (
+        ta.join(tb, F.col("day_tb") == F.date_add(F.col("day"), 1))
+        .join(inter, "day", "left")
+        .select(
+            "day",
+            F.col("t").alias("users_day"),
+            F.col("t_next").alias("users_next"),
+            F.coalesce(F.col("i"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.expr(
+                "CAST(1000000 * COALESCE(i, 0) div (t + t_next - COALESCE(i, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

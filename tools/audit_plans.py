@@ -117,6 +117,14 @@ EXPECTED = {
     # corpus-stats frame (bm25 leg) and the single-probe broadcast
     # (dense leg)
     "rrf_fusion_retrieval": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # two 1-row stat frames cross-joined
+    "skew_audit_orders": {"BroadcastNestedLoopJoin"},
+    # the shared three-level prefix sum's superblock window
+    # (|corpus|/2^20 rows — same bounded shape as doc_pack_shards)
+    "stable_row_numbering": {"GlobalWindow"},
+    # $100-bucket-domain prefix window; 1-row n / 1-row boundary-array
+    # frames cross-joined back
+    "decile_lift_table": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
