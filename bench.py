@@ -141,6 +141,9 @@ HEADLINE = [
     "time_weighted_avg_value",
     "decile_lift_table",
     "audience_overlap_drift",
+    "bloom_filter_membership",
+    "cms_heavy_hitters",
+    "grouped_mode_value",
 ]
 
 

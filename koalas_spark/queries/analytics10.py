@@ -1207,3 +1207,242 @@ def audience_overlap_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 238. portable Bloom-filter membership — the join-pruning sketch
+# built ENGINE-PORTABLY (unlike Spark's built-in bloom_filter_agg,
+# whose serialized form no other engine can replay): K=3 bit positions
+# per key from the repo's md5-prefix hash, a 65,536-bit filter packed
+# as 2,048 int64 words holding 32 bits each (DuckDB's << overflows at
+# bit 63, so 32-bit packing keeps every shift in range on both
+# engines), bit_or per word with map-side combine. The probe side
+# replays the hashes against the broadcast-size bitmap; the measured
+# false-positive count over 1 probe/key of guaranteed-absent keys is
+# deterministic — the oracle recomputes the identical filter and the
+# identical FP set. Plan: build = 3n rows aggregated to <= 2,048
+# words; probe = 3n' rows joined against the tiny bitmap. Nothing
+# quadratic, nothing engine-private.
+@query(
+    "bloom_filter_membership",
+    oracle="""
+WITH keys AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+build AS (
+  SELECT CAST(('0x' || substr(md5('b' || i || ':' || k), 1, 15)) AS BIGINT)
+         % 65536 AS pos
+  FROM keys CROSS JOIN (SELECT unnest(range(0, 3)) AS i) h),
+bitmap AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM build GROUP BY pos // 32),
+probes AS (SELECT 'absent:' || CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+pbits AS (
+  SELECT k,
+         CAST(('0x' || substr(md5('b' || i || ':' || k), 1, 15)) AS BIGINT)
+         % 65536 AS pos
+  FROM probes CROSS JOIN (SELECT unnest(range(0, 3)) AS i) h),
+hits AS (
+  SELECT p.k,
+         CASE WHEN (COALESCE(b.bits, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pbits p LEFT JOIN bitmap b ON b.word = p.pos // 32),
+fp AS (SELECT k FROM hits GROUP BY k HAVING SUM(hit) = 3),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys),
+sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes),
+sf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp)
+SELECT 65536 AS m_bits, st.n_keys, sp.n_probes, sf.n_fp,
+       CAST(1000000 * sf.n_fp // sp.n_probes AS BIGINT) AS fp_ppm
+FROM st CROSS JOIN sp CROSS JOIN sf
+""",
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.dedup import portable_hash60
+
+    M = 65536
+    keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    hs = spark.range(3).select(F.col("id").cast("int").alias("i"))
+
+    def positions(kdf: DataFrame) -> DataFrame:
+        return kdf.crossJoin(F.broadcast(hs)).select(
+            "k",
+            (
+                portable_hash60(
+                    F.concat(F.lit("b"), F.col("i"), F.lit(":"), F.col("k"))
+                )
+                % M
+            ).alias("pos"),
+        )
+
+    bitmap = (
+        positions(keys)
+        .groupBy((F.col("pos") / 32).cast("long").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    probes = keys.select(F.concat(F.lit("absent:"), F.col("k")).alias("k"))
+    pbits = positions(probes).withColumn(
+        "word", (F.col("pos") / 32).cast("long")
+    )
+    hits = pbits.join(F.broadcast(bitmap), "word", "left").select(
+        "k",
+        F.when(
+            F.expr(
+                "COALESCE(bits, CAST(0 AS BIGINT))"
+                " & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            )
+            != 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    fp = (
+        hits.groupBy("k")
+        .agg(F.sum("hit").alias("s"))
+        .filter(F.col("s") == 3)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    )
+    st = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    sp = probes.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    return (
+        st.crossJoin(F.broadcast(sp))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            F.lit(M).cast("int").alias("m_bits"),
+            "n_keys",
+            "n_probes",
+            "n_fp",
+            F.expr("CAST(1000000 * n_fp div n_probes AS BIGINT)").alias(
+                "fp_ppm"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# 239. portable Count-Min sketch vs ground truth — the heavy-hitter
+# sketch whose cells both engines can compute bit-identically (md5
+# cell hashing, depth 4 x width 1024 = 4,096 int64 counters). The
+# sketch aggregates from per-token counts (identical math to
+# per-occurrence increments, one shuffle cheaper), the exact top-20
+# comes from TakeOrdered, and the report shows estimate >= truth
+# (CMS's one-sided guarantee) with the exact integer overestimate.
+# At 100 TB the sketch is a constant-size aggregation state — the
+# point of CMS — while the oracle replays every cell exactly.
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+WITH c AS (
+  SELECT t.term AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS term
+        FROM documents) t
+  GROUP BY t.term),
+cells AS (
+  SELECT d,
+         CAST(('0x' || substr(md5('cms' || d || ':' || token), 1, 15)) AS BIGINT)
+         % 1024 AS cell,
+         CAST(SUM(cnt) AS BIGINT) AS v
+  FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS d) ds
+  GROUP BY 1, 2),
+top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 20),
+est AS (
+  SELECT t.token, t.cnt,
+         MIN(cells.v) AS cms_est
+  FROM top t
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS d) ds
+  JOIN cells ON cells.d = ds.d
+    AND cells.cell = CAST(('0x' || substr(md5('cms' || ds.d || ':' || t.token), 1, 15)) AS BIGINT) % 1024
+  GROUP BY t.token, t.cnt)
+SELECT token, cnt AS true_cnt, cms_est,
+       CAST(1000000 * (cms_est - cnt) // cnt AS BIGINT) AS over_ppm
+FROM est
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens
+    from koalas_spark.operators.dedup import portable_hash60
+
+    W, D = 1024, 4
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds the sketch AND the top-20
+    )
+    ds = spark.range(D).select(F.col("id").cast("int").alias("d"))
+    cell = (
+        portable_hash60(
+            F.concat(F.lit("cms"), F.col("d"), F.lit(":"), F.col("token"))
+        )
+        % W
+    )
+    cells = (
+        c.crossJoin(F.broadcast(ds))
+        .groupBy("d", cell.alias("cell"))
+        .agg(F.sum("cnt").cast("bigint").alias("v"))
+    )
+    top = c.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(20)
+    probe = top.crossJoin(F.broadcast(ds)).select(
+        "token", "cnt", "d", cell.alias("cell")
+    )
+    est = (
+        probe.join(cells, ["d", "cell"])
+        .groupBy("token", "cnt")
+        .agg(F.min("v").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        F.col("cnt").alias("true_cnt"),
+        "cms_est",
+        F.expr("CAST(1000000 * (cms_est - cnt) div cnt AS BIGINT)").alias(
+            "over_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# 240. grouped mode — the most frequent value per group with a full
+# deterministic tie-break (highest count, then smallest value): counts
+# per (group, value) aggregate with map-side combine; the argmax
+# window runs over value-DOMAIN-bounded partitions (l_quantity has
+# ~50 distinct values), never over raw rows. Built-in mode() has
+# engine-specific tie behavior — the explicit formulation is the
+# cross-engine-safe one.
+@query(
+    "grouped_mode_value",
+    oracle="""
+SELECT l_returnflag, l_linestatus, mode_qty, cnt FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS INT) AS mode_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY COUNT(*) DESC, CAST(l_quantity AS INT) ASC)
+           AS rk
+  FROM lineitem GROUP BY l_returnflag, l_linestatus, CAST(l_quantity AS INT)) t
+WHERE rk = 1
+""",
+)
+def grouped_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("int").alias("mode_qty"),
+    )
+    counts = li.groupBy("l_returnflag", "l_linestatus", "mode_qty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.col("cnt").desc(), F.col("mode_qty").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", "l_linestatus", "mode_qty", "cnt")
+    )

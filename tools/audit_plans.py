@@ -125,6 +125,10 @@ EXPECTED = {
     # $100-bucket-domain prefix window; 1-row n / 1-row boundary-array
     # frames cross-joined back
     "decile_lift_table": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # 3-row hash-index frame + 1-row stat frames cross-joined
+    "bloom_filter_membership": {"BroadcastNestedLoopJoin"},
+    # 4-row depth frame cross-joined onto token counts / top-20 probes
+    "cms_heavy_hitters": {"BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
