@@ -144,6 +144,16 @@ HEADLINE = [
     "bloom_filter_membership",
     "cms_heavy_hitters",
     "grouped_mode_value",
+    "auc_mann_whitney",
+    "label_propagation_communities",
+    "psi_price_drift",
+    "seasonal_dow_decompose",
+    "benford_price_audit",
+    "weighted_sample_aes",
+    "naive_bayes_langid",
+    "l_diversity_audit",
+    "sketch_kmv_set_ops",
+    "chi2_feature_selection",
 ]
 
 

@@ -73,6 +73,7 @@ def _load() -> None:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         corpus,
         graphq,
         layout,

@@ -129,6 +129,22 @@ EXPECTED = {
     "bloom_filter_membership": {"BroadcastNestedLoopJoin"},
     # 4-row depth frame cross-joined onto token counts / top-20 probes
     "cms_heavy_hitters": {"BroadcastNestedLoopJoin"},
+    # $100-bucket-domain prefix window (same bounded shape as
+    # decile_lift_table)
+    "auc_mann_whitney": {"GlobalWindow"},
+    # 1-row era-totals frame cross-joined onto the 10-band histogram
+    "psi_price_drift": {"BroadcastNestedLoopJoin"},
+    # centered 7-row moving sum over the day-DOMAIN daily table
+    "seasonal_dow_decompose": {"GlobalWindow"},
+    # 1-row total frame cross-joined onto the 9-digit histogram
+    "benford_price_audit": {"BroadcastNestedLoopJoin"},
+    # 5-row language frame and 1-row vocab-size/train-count frames
+    # cross-joined to build the vocab x language model table
+    "naive_bayes_langid": {"BroadcastNestedLoopJoin"},
+    # 256-row sketch frames and 1-row theta/stat frames cross-joined
+    "sketch_kmv_set_ops": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-stats frame cross-joined onto the per-token table
+    "chi2_feature_selection": {"BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
