@@ -74,6 +74,7 @@ def _load() -> None:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         corpus,
         graphq,
         layout,

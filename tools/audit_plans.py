@@ -145,6 +145,12 @@ EXPECTED = {
     "sketch_kmv_set_ops": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame cross-joined onto the per-token table
     "chi2_feature_selection": {"BroadcastNestedLoopJoin"},
+    # 7-row lag frame cross-joined onto the day-domain daily table
+    "acf_daily_revenue": {"BroadcastNestedLoopJoin"},
+    # 1-row horizon frame cross-joined; suffix/prefix sums over the
+    # ~2.4k-row lifetime-day DOMAIN (same bounded shape as
+    # seasonal_dow_decompose)
+    "km_survival_curve": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
