@@ -75,6 +75,7 @@ def _load() -> None:
         analytics10,
         analytics11,
         analytics12,
+        analytics13,
         corpus,
         graphq,
         layout,

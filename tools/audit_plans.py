@@ -151,6 +151,10 @@ EXPECTED = {
     # ~2.4k-row lifetime-day DOMAIN (same bounded shape as
     # seasonal_dow_decompose)
     "km_survival_curve": {"BroadcastNestedLoopJoin", "GlobalWindow"},
+    # prefix sum over the DISTINCT-slope table (bounded: pairs are
+    # day-domain^2, never corpus^2) plus 1-row n_days/n_pairs/median
+    # frames cross-joined back
+    "theil_sen_daily_trend": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
