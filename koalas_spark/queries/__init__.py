@@ -76,6 +76,7 @@ def _load() -> None:
         analytics11,
         analytics12,
         analytics13,
+        analytics14,
         corpus,
         graphq,
         layout,

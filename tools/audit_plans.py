@@ -155,6 +155,10 @@ EXPECTED = {
     # day-domain^2, never corpus^2) plus 1-row n_days/n_pairs/median
     # frames cross-joined back
     "theil_sen_daily_trend": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # range (overlap) predicate against a 4-row literal campaign dim —
+    # broadcast nested-loop IS the right plan for interval joins with
+    # tiny build sides (#56's argument)
+    "interval_overlap_join": {"BroadcastNestedLoopJoin"},
     # deliberate Spark-4 UDTF demo: a LATERAL table function is
     # row-wise Python BY DEFINITION (one row fans out imperatively).
     # Gated to lang='en'; the in-code guidance points hot paths at
