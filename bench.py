@@ -154,6 +154,28 @@ HEADLINE = [
     "l_diversity_audit",
     "sketch_kmv_set_ops",
     "chi2_feature_selection",
+    # r8 batch 7-9 additions: FK integrity audit, Gini concentration,
+    # daily-revenue ACF, Kaplan-Meier, PCA power iteration, BFS
+    # reachability, Theil-Sen, item-item recs, frequent triples,
+    # weighted median, DP release, calibration bins
+    "referential_integrity_audit",
+    "gini_revenue_concentration",
+    "acf_daily_revenue",
+    "km_survival_curve",
+    "calibration_bins_quality",
+    "pca_power_iteration",
+    "khop_reach_copurchase",
+    "theil_sen_daily_trend",
+    "grouped_sample_exact_k",
+    "item_item_topk",
+    "frequent_triples",
+    "weighted_median_price",
+    "dp_noisy_counts",
+    "interval_overlap_join",
+    "vocab_coverage_curve",
+    "cohort_ltv_curve",
+    "type_entropy_anomaly",
+    "revenue_share_hierarchy",
 ]
 
 

@@ -77,6 +77,7 @@ def _load() -> None:
         analytics12,
         analytics13,
         analytics14,
+        analytics15,
         corpus,
         graphq,
         layout,

@@ -155,6 +155,16 @@ EXPECTED = {
     # day-domain^2, never corpus^2) plus 1-row n_days/n_pairs/median
     # frames cross-joined back
     "theil_sen_daily_trend": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # rank window over the TakeOrdered top-5000 vocab frame (bounded,
+    # zipf_alpha_fit's shape); 4-row k-table joined on rk<=k (range
+    # predicate against a tiny literal side)
+    "vocab_coverage_curve": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # prefix sum over the day-domain entropy histogram (bounded);
+    # 1-row total/median frames cross-joined back
+    "type_entropy_anomaly": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # 1-row global-revenue frame cross-joined onto the 25-row nation
+    # domain
+    "revenue_share_hierarchy": {"BroadcastNestedLoopJoin"},
     # range (overlap) predicate against a 4-row literal campaign dim —
     # broadcast nested-loop IS the right plan for interval joins with
     # tiny build sides (#56's argument)
