@@ -176,6 +176,9 @@ HEADLINE = [
     "cohort_ltv_curve",
     "type_entropy_anomaly",
     "revenue_share_hierarchy",
+    "time_decay_attribution",
+    "minhash_estimate_audit",
+    "int8_quant_error_scan",
 ]
 
 

@@ -78,6 +78,7 @@ def _load() -> None:
         analytics13,
         analytics14,
         analytics15,
+        analytics16,
         corpus,
         graphq,
         layout,

@@ -85,6 +85,10 @@ EXPECTED = {
     "stream_stateful_sessions": {"Python"},
     "dedup_minhash_lsh": {"Python"},
     "dedup_simhash": {"Python"},
+    # #38's Arrow signature map feeding the estimator-error audit
+    "minhash_estimate_audit": {"Python"},
+    # mapInArrow partial-stats kernel (PythonMapInArrow)
+    "int8_quant_error_scan": {"Python"},
     # bounded global windows: mom_pct_change lags over post-agg month rows
     # (≤ a few hundred ever); doc_pack_shards' level-3 prefix window holds
     # |corpus|/2^20 superblock rows (~1e5 at 1e11 docs)
