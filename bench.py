@@ -179,6 +179,9 @@ HEADLINE = [
     "time_decay_attribution",
     "minhash_estimate_audit",
     "int8_quant_error_scan",
+    "basket_affinity_lift",
+    "top_parts_string_agg",
+    "pivot_quarter_metrics",
 ]
 
 

@@ -79,6 +79,7 @@ def _load() -> None:
         analytics14,
         analytics15,
         analytics16,
+        analytics17,
         corpus,
         graphq,
         layout,

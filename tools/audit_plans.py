@@ -159,6 +159,8 @@ EXPECTED = {
     # day-domain^2, never corpus^2) plus 1-row n_days/n_pairs/median
     # frames cross-joined back
     "theil_sen_daily_trend": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # 1-row basket-count frame cross-joined onto the scored pairs
+    "basket_affinity_lift": {"BroadcastNestedLoopJoin"},
     # rank window over the TakeOrdered top-5000 vocab frame (bounded,
     # zipf_alpha_fit's shape); 4-row k-table joined on rk<=k (range
     # predicate against a tiny literal side)
