@@ -182,6 +182,9 @@ HEADLINE = [
     "basket_affinity_lift",
     "top_parts_string_agg",
     "pivot_quarter_metrics",
+    "ks_test_price_eras",
+    "mann_kendall_trend",
+    "winsorized_mean_price",
 ]
 
 

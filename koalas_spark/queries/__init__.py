@@ -18,7 +18,27 @@ Cross-engine determinism rules used throughout:
     return BIGINT, Spark size()/length() return INT);
   - top-k queries carry full tie-break orderings so membership is
     deterministic;
-  - portable hashing uses md5 (identical hex in both engines).
+  - portable hashing uses md5 (identical hex in both engines);
+  - dollars->cents (and any double->integer) quantization is
+    FLOOR(x*100 + 0.5) on BOTH sides — DuckDB CAST(double AS BIGINT)
+    ROUNDS while Spark truncates (r8 batch-5 sf1 catch);
+  - integer division only on NON-NEGATIVE operands (DuckDB // floors,
+    Spark div truncates toward zero — they disagree below zero);
+    signed divisions use the sign-aware half-up form
+    sign(s) * ((2|s| + n) // (2n)) or a shift-non-negative rewrite;
+  - transcendentals (ln/exp) are quantized to integer nanos PER VALUE
+    before any SUM (float sums are addend-order-dependent; integer
+    sums are not) — the #221 discipline;
+  - products that can exceed int64 at scale pre-cast ONE factor to
+    DECIMAL(38): DuckDB multiplies DECIMAL(18)xDECIMAL(18) in int64
+    storage width and overflows (r8 acf sf1 catch);
+  - iterative chained-CTE oracles declare every step AS MATERIALIZED:
+    DuckDB inlines CTEs per reference site, so a K-step chain whose
+    step references its predecessor twice re-expands the upstream
+    subtree 2^K times (r8 PCA fd-exhaustion / BFS 60 GB spill catch);
+  - where a double expression is unavoidable it appears ONCE, with an
+    IDENTICAL shape in the Spark code and the oracle SQL — IEEE ops
+    on identical doubles are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -80,6 +100,7 @@ def _load() -> None:
         analytics15,
         analytics16,
         analytics17,
+        analytics18,
         corpus,
         graphq,
         layout,

@@ -161,6 +161,12 @@ EXPECTED = {
     "theil_sen_daily_trend": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     # 1-row basket-count frame cross-joined onto the scored pairs
     "basket_affinity_lift": {"BroadcastNestedLoopJoin"},
+    # prefix sum over the price-cents DOMAIN histogram (bounded);
+    # 1-row n/max/argmax frames cross-joined back
+    "ks_test_price_eras": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # day-domain pair enumeration (db > da non-equi against the
+    # broadcast ~2.4k-row daily table) + 1-row stat frames
+    "mann_kendall_trend": {"BroadcastNestedLoopJoin"},
     # rank window over the TakeOrdered top-5000 vocab frame (bounded,
     # zipf_alpha_fit's shape); 4-row k-table joined on rk<=k (range
     # predicate against a tiny literal side)
