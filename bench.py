@@ -185,6 +185,9 @@ HEADLINE = [
     "ks_test_price_eras",
     "mann_kendall_trend",
     "winsorized_mean_price",
+    "nation_revenue_beta",
+    "geometric_mean_order_value",
+    "daily_revenue_peaks",
 ]
 
 

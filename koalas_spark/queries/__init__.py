@@ -101,6 +101,7 @@ def _load() -> None:
         analytics16,
         analytics17,
         analytics18,
+        analytics19,
         corpus,
         graphq,
         layout,

@@ -167,6 +167,9 @@ EXPECTED = {
     # day-domain pair enumeration (db > da non-equi against the
     # broadcast ~2.4k-row daily table) + 1-row stat frames
     "mann_kendall_trend": {"BroadcastNestedLoopJoin"},
+    # lag/lead + p90 prefix sum over the bounded day domain; 1-row
+    # p90/total frames cross-joined back
+    "daily_revenue_peaks": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     # rank window over the TakeOrdered top-5000 vocab frame (bounded,
     # zipf_alpha_fit's shape); 4-row k-table joined on rk<=k (range
     # predicate against a tiny literal side)
