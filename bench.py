@@ -188,6 +188,9 @@ HEADLINE = [
     "nation_revenue_beta",
     "geometric_mean_order_value",
     "daily_revenue_peaks",
+    "interarrival_distribution",
+    "text_readability_flesch",
+    "max_drawdown_daily",
 ]
 
 

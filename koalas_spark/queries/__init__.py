@@ -102,6 +102,7 @@ def _load() -> None:
         analytics17,
         analytics18,
         analytics19,
+        analytics20,
         corpus,
         graphq,
         layout,

@@ -170,6 +170,9 @@ EXPECTED = {
     # lag/lead + p90 prefix sum over the bounded day domain; 1-row
     # p90/total frames cross-joined back
     "daily_revenue_peaks": {"GlobalWindow", "BroadcastNestedLoopJoin"},
+    # running max + argmin over the bounded day domain; 1-row
+    # max-drawdown frame cross-joined back
+    "max_drawdown_daily": {"GlobalWindow", "BroadcastNestedLoopJoin"},
     # rank window over the TakeOrdered top-5000 vocab frame (bounded,
     # zipf_alpha_fit's shape); 4-row k-table joined on rk<=k (range
     # predicate against a tiny literal side)
