@@ -191,6 +191,9 @@ HEADLINE = [
     "interarrival_distribution",
     "text_readability_flesch",
     "max_drawdown_daily",
+    "entry_type_engagement",
+    "fulfillment_lag_quantiles",
+    "customer_reactivation",
 ]
 
 

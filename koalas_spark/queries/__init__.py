@@ -103,6 +103,7 @@ def _load() -> None:
         analytics18,
         analytics19,
         analytics20,
+        analytics21,
         corpus,
         graphq,
         layout,
