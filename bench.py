@@ -194,6 +194,8 @@ HEADLINE = [
     "entry_type_engagement",
     "fulfillment_lag_quantiles",
     "customer_reactivation",
+    "hour_of_day_profile",
+    "supplier_concentration_hhi",
 ]
 
 

@@ -104,6 +104,7 @@ def _load() -> None:
         analytics19,
         analytics20,
         analytics21,
+        analytics22,
         corpus,
         graphq,
         layout,
