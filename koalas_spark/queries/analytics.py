@@ -482,11 +482,13 @@ FROM (
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts, event_id,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > INTERVAL 30 MINUTE
-                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800
+                OR LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new
-    FROM events) a) b
+    FROM (SELECT user_id, ts, event_id,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+          FROM events) e0) a) b
 GROUP BY user_id, session_id
 """,
 )

@@ -795,11 +795,13 @@ WITH s AS (
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts, event_id, event_type,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > INTERVAL 30 MINUTE
-                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800
+                OR LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new
-    FROM events) a),
+    FROM (SELECT user_id, ts, event_id, event_type,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+          FROM events) e0) a),
 c1 AS (
   SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
               OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id

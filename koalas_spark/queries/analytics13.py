@@ -182,11 +182,20 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # d x d driver state from exact integer sums; every double step
     # below mirrors the oracle's expression SHAPE exactly (IEEE ops
-    # on identical doubles are bit-identical across engines).
+    # on identical doubles are bit-identical across engines). Each
+    # integer sum is converted to float BEFORE dividing — the oracle
+    # casts the DECIMAL sums to DOUBLE first, so both engines round
+    # the operands identically and then perform the same double
+    # division (int/int in Python is single-rounded and can differ by
+    # 1 ulp once |sxy| exceeds 2^53).
     cov = {}
     for r in rows:
-        n = int(r["n"])
-        sx, sy, sxy = int(r["sx"]), int(r["sy"]), int(r["sxy"])
+        n = float(int(r["n"]))
+        sx, sy, sxy = (
+            float(int(r["sx"])),
+            float(int(r["sy"])),
+            float(int(r["sxy"])),
+        )
         cov[(int(r["i"]), int(r["j"]))] = sxy / n - (sx / n) * (sy / n)
     md = max(abs(c) for c in cov.values())
     sn = {}
@@ -333,9 +342,14 @@ def schema_evolution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "ts", "event_type", "value"
         ).write.mode("overwrite").parquet(v2)
     merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    # n_legacy counts by the partition key that DEFINES a legacy row
+    # (even event_id), not by NULL-ness of the merged value column —
+    # the two only coincide while the generator never emits a NULL
+    # value in an odd-id row, and the defining predicate stays
+    # correct if it ever does.
     return merged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_legacy"),
         F.sum(F.col("value").cast("decimal(25,6)"))

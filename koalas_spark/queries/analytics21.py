@@ -36,13 +36,15 @@ WITH s AS (
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM (
     SELECT user_id, ts, event_id, event_type,
-           CASE WHEN LAG(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) IS NULL
-                OR ts - LAG(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE
+           CASE WHEN LAG(sec) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                OR sec - LAG(sec) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   > 1800
                 THEN 1 ELSE 0 END AS is_new
-    FROM events) a),
+    FROM (SELECT user_id, ts, event_id, event_type,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+          FROM events) e0) a),
 r AS (
   SELECT user_id, sid, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id, sid
