@@ -148,24 +148,19 @@ WHERE rk <= 5
 """,
 )
 def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.queries.mining import copurchase_pair_table
+
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    a, b = li.alias("a"), li.alias("b")
-    cooc = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
+    # cooc comes from the once-per-sf_dir materialized pair artifact
+    # (mining.copurchase_pair_table); only the per-part degree pass
+    # still reads lineitem (degree counts singleton baskets the pair
+    # table cannot see).
+    cooc = copurchase_pair_table(spark, sf_dir)
     sym = cooc.unionAll(
         cooc.select(
             F.col("v").alias("u"), F.col("u").alias("v"), F.col("cnt")

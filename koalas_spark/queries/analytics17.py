@@ -67,19 +67,13 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = li.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )
-    a, b = li.alias("a"), li.alias("b")
-    cooc = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .filter(F.col("cnt") >= 3)
-    )
+    # co-occurrence counts from the once-per-sf_dir materialized pair
+    # artifact (mining.copurchase_pair_table); the support filter
+    # prunes on the compact artifact scan instead of after a fresh
+    # quadratic pair enumeration.
+    from koalas_spark.queries.mining import copurchase_pair_table
+
+    cooc = copurchase_pair_table(spark, sf_dir).filter(F.col("cnt") >= 3)
     deg = li.groupBy(F.col("l_partkey").alias("p")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

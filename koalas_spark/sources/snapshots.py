@@ -38,10 +38,17 @@ def latest_version(path: str) -> int:
     return max(versions)
 
 
-def write_snapshot(df: DataFrame, path: str) -> int:
+def write_snapshot(df: DataFrame, path: str, replace: bool = False) -> int:
     """Commit ``df`` as a new version: data into a uniquely named
     immutable dir, manifest ``_v{N}.json`` = previous manifest's dirs
     + the new one. Returns the committed version number.
+
+    ``replace=True`` makes it an OVERWRITE commit: the new manifest
+    lists ONLY the new data dir (the snapshot-isolation analogue of
+    INSERT OVERWRITE — old versions stay readable via ``version=``,
+    but latest sees a full replacement). Used for derived artifacts
+    (e.g. the co-purchase pair table) where two racing builders must
+    converge to ONE copy of the data, not an append-duplicated union.
 
     Crash safety: the data write completes before any manifest
     appears, so a crash mid-commit leaves an orphan data dir but never
@@ -71,7 +78,10 @@ def write_snapshot(df: DataFrame, path: str) -> int:
             version = prev + 1
         except FileNotFoundError:
             dirs, version = [], 1
-        manifest = {"version": version, "dirs": dirs + [data_dir_name]}
+        manifest = {
+            "version": version,
+            "dirs": [data_dir_name] if replace else dirs + [data_dir_name],
+        }
         tmp = _manifest_path(path, version) + f".tmp-{suffix}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)

@@ -115,3 +115,37 @@ def test_driver_gate_respects_limit(spark):
     # answer)
     pairs = [(i, i + 1) for i in range(10)]
     assert _comps(spark, pairs, driver_edge_limit=5) == [list(range(11))]
+
+
+# ---------------- materialized co-purchase pair artifact ----------------
+
+
+def test_copurchase_artifact_matches_fresh_build(spark):
+    """The once-per-sf_dir snapshot artifact must be value-identical
+    to a fresh rebuild from lineitem (rebuild=True bypasses it)."""
+    from koalas_spark.queries.mining import copurchase_pair_table
+
+    sf = "/root/testdata/sf0.001"
+    cached = copurchase_pair_table(spark, sf).collect()
+    fresh = copurchase_pair_table(spark, sf, rebuild=True).collect()
+    key = lambda r: (r["u"], r["v"])
+    assert sorted(map(tuple, cached)) == sorted(map(tuple, fresh))
+    assert len({key(r) for r in cached}) == len(cached)  # (u,v) unique
+
+
+def test_snapshot_replace_commit(spark, tmp_path):
+    """replace=True publishes a manifest listing ONLY the new data
+    dir — latest readers see a full replacement, while the previous
+    version stays readable (time travel intact)."""
+    from koalas_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    p = str(tmp_path / "tbl")
+    df1 = spark.range(5).withColumnRenamed("id", "x")
+    df2 = spark.range(100, 103).withColumnRenamed("id", "x")
+    v1 = write_snapshot(df1, p)
+    v2 = write_snapshot(df2, p, replace=True)
+    assert (v1, v2) == (1, 2)
+    latest = sorted(r["x"] for r in read_snapshot(spark, p).collect())
+    assert latest == [100, 101, 102]
+    pinned = sorted(r["x"] for r in read_snapshot(spark, p, version=1).collect())
+    assert pinned == [0, 1, 2, 3, 4]
