@@ -265,6 +265,9 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
 
 
+_PAIR_CACHE: dict = {}
+
+
 def _copurchase_artifact_path(sf_dir: str) -> str:
     """Artifact directory for this sf_dir's co-purchase pair table,
     fingerprinted by the source lineitem file (size + mtime) so a
@@ -323,12 +326,25 @@ def copurchase_pair_table(
     if rebuild:
         return fresh
     path = _copurchase_artifact_path(sf_dir)
+    key = (id(spark), path)
+    got = _PAIR_CACHE.get(key)
+    if got is not None:
+        return got
     try:
-        return read_snapshot(spark, path)
+        df = read_snapshot(spark, path)
     except FileNotFoundError:
-        pass
-    write_snapshot(fresh, path, replace=True)
-    return read_snapshot(spark, path)
+        write_snapshot(fresh, path, replace=True)
+        df = read_snapshot(spark, path)
+    # The artifact is small on disk (a few MB per 0.1 SF) so the raw
+    # scan lands in ONE input split and every downstream graph join
+    # would serialize on one core. Re-spread it across the cluster and
+    # cut lineage (same discipline as analytics._spread), memoized per
+    # session so the bench's 8 consumers share one checkpointed copy.
+    df = df.repartition(
+        spark.sparkContext.defaultParallelism, "u", "v"
+    ).localCheckpoint(eager=False)
+    _PAIR_CACHE[key] = df
+    return df
 
 
 def _copurchase_edge_set(
