@@ -351,6 +351,46 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 289. REAL compressed codec #3: baseline JPEG (ITU T.81) — the
+# lossy one. 16 text bytes become a 32x32 raster of 8x8 CONSTANT
+# blocks; a constant block's spectrum is pure DC = 8*(v-128), an
+# exact integer that survives the all-ones quant table and inverts
+# to exactly v — so THIS JPEG decodes bit-exactly and the lossy codec
+# gets the same decoded-pixel-sha oracle as PNG/GIF (the oracle
+# rebuilds the expected pixel buffer by repeat-expansion of the
+# chars; corpus is ASCII so DuckDB chars == Spark bytes). The AC
+# path, restart markers, color 4:4:4, and general lossy accuracy are
+# pinned by unit tests where bit-exactness is impossible
+# (tests/test_multimodal.py::TestJpeg).
+@query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id, TRUE AS jpeg_ok,
+       sha256(
+         repeat(repeat(substring(text,1,1),8)||repeat(substring(text,2,1),8)||repeat(substring(text,3,1),8)||repeat(substring(text,4,1),8),8) ||
+         repeat(repeat(substring(text,5,1),8)||repeat(substring(text,6,1),8)||repeat(substring(text,7,1),8)||repeat(substring(text,8,1),8),8) ||
+         repeat(repeat(substring(text,9,1),8)||repeat(substring(text,10,1),8)||repeat(substring(text,11,1),8)||repeat(substring(text,12,1),8),8) ||
+         repeat(repeat(substring(text,13,1),8)||repeat(substring(text,14,1),8)||repeat(substring(text,15,1),8)||repeat(substring(text,16,1),8),8)
+       ) AS pixel_sha
+FROM documents WHERE octet_length(encode(text)) >= 16
+""",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import jpeg_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 16)
+    rast = docs.select(
+        "doc_id",
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 16).alias("raster"),
+    )
+    out = jpeg_roundtrip(rast, "doc_id", blocks=16)
+    return out.select(
+        "doc_id",
+        (F.col("jpeg_bytes") > 0).alias("jpeg_ok"),
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )
+
+
 # 165. REAL audio resample: the 400-byte PCM16 WAV (same constant
 # header as #139) is decoded, decimated x2 (drop-sample), and
 # re-encoded as a valid 8 kHz WAV whose FULL file bytes are sha'd

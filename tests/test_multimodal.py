@@ -597,3 +597,196 @@ def test_gif_codec_roundtrip_and_structure():
         decode_gif(b"NOTAGIF")
     with _pytest.raises(ValueError):
         decode_gif(gif[:40])
+
+
+# ---------------- baseline JPEG codec ----------------
+
+
+def _naive_idct8(coef):
+    """Independent reference IDCT: direct T.81 cosine sum, no shared
+    code with the decoder's matrix form."""
+    import math
+
+    out = [[0.0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv / 4.0 * coef[u][v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[x][y] = s
+    return out
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 256, 16, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals.reshape(4, 4), 8, 0), 8, 1)
+    jpg = encode_jpeg(img)
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(jpg), img)
+
+
+def test_jpeg_ac_path_matches_independent_idct():
+    # a non-flat image exercises DC diffs, AC runs, ZRL and EOB; the
+    # decoder must reproduce the reference reconstruction (quantize ->
+    # dequantize -> naive double-loop IDCT) within the 1-count clamp
+    # of float rounding
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import (
+        _ZIGZAG,
+        _fdct,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img))
+    exp = np.zeros_like(img)
+    for by in (0, 8):
+        for bx in (0, 8):
+            blk = img[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            q = np.round(_fdct(blk))  # all-ones quant table
+            rec = np.array(_naive_idct8(q.tolist()))
+            exp[by : by + 8, bx : bx + 8] = np.clip(
+                np.round(rec) + 128, 0, 255
+            ).astype(np.uint8)
+    assert int(np.abs(got.astype(int) - exp.astype(int)).max()) <= 1
+    # and the decode is close to the source (q=1 is near-lossless)
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import numpy as np
+    import pytest as _pytest
+
+    from koalas_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    jpg = bytearray(encode_jpeg(img))
+    i = jpg.find(b"\xff\xc0")
+    jpg[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(jpg))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"NOTAJPEG")
+
+
+def test_jpeg_restart_markers_and_color():
+    """Hand-built scans for the two decoder paths the encoder does not
+    emit: DRI/RSTn restart intervals and 3-component 4:4:4 color."""
+    import struct
+
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import (
+        _AC_LUMA_BITS,
+        _AC_LUMA_VALS,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _BitWriter,
+        _huff_canonical,
+        decode_jpeg,
+    )
+
+    dc = _huff_canonical(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac = _huff_canonical(_AC_LUMA_BITS, _AC_LUMA_VALS)
+
+    def dc_only_block(bw, diff):
+        t = int(abs(diff)).bit_length() if diff else 0
+        code, ln = dc[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code, ln = ac[0x00]
+        bw.put(code, ln)  # EOB
+
+    dqt = b"\x00" + b"\x01" * 64
+    dht_dc = b"\x00" + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    dht_ac = b"\x10" + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS)
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", 2 + len(body)) + body
+
+    # --- restart: 16x8 grayscale, two MCUs, DRI=1 -> RST0 between ---
+    v0, v1 = 200, 40
+    bw = _BitWriter()
+    dc_only_block(bw, 8 * (v0 - 128))
+    scan1 = bw.flush()
+    bw = _BitWriter()
+    dc_only_block(bw, 8 * (v1 - 128))  # predictor RESET by restart
+    scan2 = bw.flush()
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    jpg = (
+        b"\xff\xd8"
+        + seg(b"\xff\xdb", dqt)
+        + seg(b"\xff\xc0", sof)
+        + seg(b"\xff\xc4", dht_dc)
+        + seg(b"\xff\xc4", dht_ac)
+        + seg(b"\xff\xdd", struct.pack(">H", 1))
+        + seg(b"\xff\xda", sos)
+        + scan1
+        + b"\xff\xd0"
+        + scan2
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 16)
+    assert np.all(out[:, :8] == v0) and np.all(out[:, 8:] == v1)
+
+    # --- color: 8x8 4:4:4, flat Y/Cb/Cr -> known RGB ---
+    y, cb, cr = 120, 160, 100
+    bw = _BitWriter()
+    for comp_val in (y, cb, cr):
+        dc_only_block(bw, 8 * (comp_val - 128))
+    scan = bw.flush()
+    sof3 = struct.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos3 = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    jpg3 = (
+        b"\xff\xd8"
+        + seg(b"\xff\xdb", dqt)
+        + seg(b"\xff\xc0", sof3)
+        + seg(b"\xff\xc4", dht_dc)
+        + seg(b"\xff\xc4", dht_ac)
+        + seg(b"\xff\xda", sos3)
+        + scan
+        + b"\xff\xd9"
+    )
+    rgb = decode_jpeg(jpg3)
+    assert rgb.shape == (8, 8, 3)
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert tuple(rgb[0, 0]) == (exp_r, exp_g, exp_b)
+
+
+def test_jpeg_roundtrip_query_null_path(spark):
+    # short payloads yield null pixels (malformed-media path)
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import jpeg_roundtrip
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"short")), (2, bytearray(bytes(range(16))))],
+        "doc_id long, raster binary",
+    )
+    rows = {r["doc_id"]: r for r in jpeg_roundtrip(df, "doc_id").collect()}
+    assert rows[1]["pixels"] is None and rows[1]["jpeg_bytes"] is None
+    assert rows[2]["jpeg_bytes"] > 0
+    pix = np.frombuffer(rows[2]["pixels"], np.uint8).reshape(32, 32)
+    assert np.all(pix[0:8, 0:8] == 0) and np.all(pix[24:32, 24:32] == 15)

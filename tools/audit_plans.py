@@ -34,6 +34,8 @@ EXPECTED = {
     "multimodal_png_roundtrip": {"Python"},
     # real GIF87a LZW encode/decode runs in mapInPandas
     "multimodal_gif_roundtrip": {"Python"},
+    # real baseline JPEG encode/decode runs in mapInPandas
+    "multimodal_jpeg_roundtrip": {"Python"},
     # real WAV decode -> decimate -> re-encode runs in mapInPandas
     "multimodal_audio_resample": {"Python"},
     "ann_lsh_topk": {"BroadcastNestedLoopJoin"},
