@@ -105,6 +105,7 @@ def _load() -> None:
         analytics20,
         analytics21,
         analytics22,
+        analytics23,
         corpus,
         graphq,
         layout,
