@@ -106,6 +106,9 @@ def _load() -> None:
         analytics21,
         analytics22,
         analytics23,
+        analytics24,
+        analytics25,
+        analytics26,
         corpus,
         graphq,
         layout,

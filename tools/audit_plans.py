@@ -49,6 +49,10 @@ EXPECTED = {
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
     # 1-row c_max frame cross-joined onto the 5-row language counts
     "lang_temperature_resample": {"BroadcastNestedLoopJoin"},
+    # 1-row max-doc-id frame cross-joined onto the per-doc novelty rows
+    "ngram_novelty_curve": {"BroadcastNestedLoopJoin"},
+    # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
+    "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
     # the per-(term,doc) tf rows
     "bm25_topk": {"BroadcastNestedLoopJoin"},

@@ -28,14 +28,22 @@ def main(sf_dir: str, tag: str) -> None:
     spark = get_spark(f"scale_{tag}", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     Q = all_queries()
-    out = open(f"/root/repo/.tmp/scale_r9_{tag}.jsonl", "a")
+    path = f"/root/repo/.tmp/scale_r9_{tag}.jsonl"
+    done = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            done = {json.loads(ln)["q"] for ln in f if ln.strip()}
+    out = open(path, "a")
     # pay the co-purchase artifact build up front and record it
-    t = time.time()
-    from koalas_spark.queries.mining import copurchase_pair_table
-    copurchase_pair_table(spark, sf_dir).count()
-    out.write(json.dumps({"q": "_copurchase_artifact_build", "sec": round(time.time() - t, 2)}) + "\n")
-    out.flush()
+    if "_copurchase_artifact_build" not in done:
+        t = time.time()
+        from koalas_spark.queries.mining import copurchase_pair_table
+        copurchase_pair_table(spark, sf_dir).count()
+        out.write(json.dumps({"q": "_copurchase_artifact_build", "sec": round(time.time() - t, 2)}) + "\n")
+        out.flush()
     for k in COHORT:
+        if k in done:
+            continue
         best = None
         for _ in range(2):
             t = time.time()
