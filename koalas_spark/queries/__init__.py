@@ -109,6 +109,7 @@ def _load() -> None:
         analytics24,
         analytics25,
         analytics26,
+        analytics27,
         corpus,
         graphq,
         layout,

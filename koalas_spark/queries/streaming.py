@@ -267,6 +267,57 @@ def stream_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete-mode aggregate (band-duplicate candidates collapse in the
 # max — no streaming DISTINCT needed). Bounded replay == the batch
 # result, so it shares #209's oracle verbatim.
+# 308. streaming rate alert — the ops-alerting shape: tumbling
+# per-window counts maintained by the streaming engine, the RELATIVE
+# threshold (count > 2x mean window count) applied sink-side over the
+# whole gauge table, foreachBatch-style. Exact-integer
+# cross-multiplication decides the alert, so the oracle (the same
+# HAVING over a batch tumbling agg) matches bit-for-bit.
+@query(
+    "stream_rate_alert",
+    oracle="""
+WITH g AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_windows FROM g)
+SELECT g.window_start, g.n
+FROM g, t WHERE g.n * t.n_windows > 2 * t.total
+""",
+)
+def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_rate_alert_windows
+
+    return stream_rate_alert_windows(spark, f"{sf_dir}/events.parquet")
+
+
+# 309. streaming first-touch attribution — one min-struct state row
+# per user (smallest (ts, event_id) wins, deterministic under any
+# replay order), aggregated into per-first-event-type user counts.
+# The batch oracle replays the same min-struct selection with a
+# window; bounded replay makes them equal.
+@query(
+    "stream_user_first_touch",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                     event_id) AS rk
+  FROM events)
+SELECT event_type AS first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(sec) AS BIGINT) AS earliest_sec
+FROM firsts WHERE rk = 1 GROUP BY 1
+""",
+)
+def stream_user_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_first_touch_counts
+
+    return stream_first_touch_counts(spark, f"{sf_dir}/events.parquet")
+
+
 @query("stream_incremental_neardup", oracle=_INC_ORACLE)
 def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_incremental_neardup as op

@@ -358,6 +358,79 @@ def stream_sliding_counts(
     )
 
 
+def stream_rate_alert_windows(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Traffic-spike alerting: tumbling per-window event counts run
+    through the streaming engine; the alert decision (window count
+    exceeds 2x the mean window count) happens in the batch post-stage
+    over the final window table — exactly the foreachBatch shape a
+    production alerter uses (the stream maintains the cheap per-window
+    state, the sink-side batch sees the whole gauge table and applies
+    the relative threshold). The comparison is exact-integer
+    cross-multiplication (n * n_windows > 2 * total), no doubles."""
+    src = _staged_events_stream(spark, events_path, "ra")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def alert(t: DataFrame) -> DataFrame:
+        tot = t.agg(
+            F.sum("n").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        return (
+            t.crossJoin(F.broadcast(tot))
+            .filter(F.col("n") * F.col("n_windows") > 2 * F.col("total"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+
+    return _run_to_memory(spark, agg, alert)
+
+
+def stream_first_touch_counts(
+    spark: SparkSession, events_path: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful first-touch attribution as a stream: one min-struct
+    state row per user (the smallest (ts, event_id) event wins —
+    deterministic under any replay order), aggregated after the
+    bounded replay into per-first-event-type user counts. State is
+    |users|-bounded and watermark-independent (min is monotone), the
+    streaming twin of batch #103's first-touch logic."""
+    src = _staged_events_stream(spark, events_path, "ft")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("ts").cast("long").alias("sec"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                )
+            ).alias("first")
+        )
+    )
+    return _run_to_memory(
+        spark,
+        agg,
+        lambda t: t.groupBy(
+            F.col("first.event_type").alias("first_type")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("first.sec").cast("bigint").alias("earliest_sec"),
+        ),
+    )
+
+
 def stream_incremental_neardup(
     spark: SparkSession,
     docs_path: str,

@@ -51,6 +51,8 @@ EXPECTED = {
     "lang_temperature_resample": {"BroadcastNestedLoopJoin"},
     # 1-row max-doc-id frame cross-joined onto the per-doc novelty rows
     "ngram_novelty_curve": {"BroadcastNestedLoopJoin"},
+    # 1-row gauge-totals frame cross-joined onto the window counts
+    "stream_rate_alert": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
