@@ -196,6 +196,34 @@ HEADLINE = [
     "customer_reactivation",
     "hour_of_day_profile",
     "supplier_concentration_hhi",
+    # round-9 additions (representative subset of the 24 new ops)
+    "scd2_user_state_intervals",
+    "leakage_safe_expanding_features",
+    "rtbf_purge_audit",
+    "pii_redaction_scrub",
+    "target_encoding_kfold",
+    "woe_iv_quantity_bins",
+    "wilson_return_ranking",
+    "adamic_adar_link_prediction",
+    "changepoint_binseg_daily",
+    "bollinger_breakout_days",
+    "welch_t_linestatus",
+    "delta_varint_compression_stats",
+    "matryoshka_energy_deciles",
+    "ngram_novelty_curve",
+    "out_of_order_lateness_histogram",
+    "dict_encoding_advisor",
+    "harmonic_centrality_probes",
+    "quantile_normalization_reference",
+    "mutual_best_copurchase",
+    "event_burstiness_fano",
+    "join_cardinality_estimate_audit",
+    "order_total_consistency_audit",
+    "topk_churn_halves",
+    "quantity_return_mutual_info",
+    "dow_anova_f_test",
+    "last_digit_uniformity_audit",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

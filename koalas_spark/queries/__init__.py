@@ -110,6 +110,8 @@ def _load() -> None:
         analytics25,
         analytics26,
         analytics27,
+        analytics28,
+        analytics29,
         corpus,
         graphq,
         layout,

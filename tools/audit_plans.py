@@ -53,6 +53,17 @@ EXPECTED = {
     "ngram_novelty_curve": {"BroadcastNestedLoopJoin"},
     # 1-row gauge-totals frame cross-joined onto the window counts
     "stream_rate_alert": {"BroadcastNestedLoopJoin"},
+    # 1-row hour-span frame cross-joined onto the 5 type-moment rows
+    "event_burstiness_fano": {"BroadcastNestedLoopJoin"},
+    # 1-row digit-total frame cross-joined onto the 10 digit rows
+    "last_digit_uniformity_audit": {"BroadcastNestedLoopJoin"},
+    # 1-row stats frames cross-joined together (na/ndv, nb/ndv, exact)
+    "join_cardinality_estimate_audit": {"BroadcastNestedLoopJoin"},
+    # 1-row contingency-total frame + <=150-cell domain cross-join
+    "quantity_return_mutual_info": {"BroadcastNestedLoopJoin"},
+    # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
+    # churn-count frames cross-joined for the single summary row
+    "topk_churn_halves": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
