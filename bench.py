@@ -224,6 +224,13 @@ HEADLINE = [
     "dow_anova_f_test",
     "last_digit_uniformity_audit",
     "multimodal_jpeg_roundtrip",
+    "t_closeness_audit",
+    "annual_fourier_fit",
+    "copurchase_assortativity",
+    "median_ci_order_stats",
+    "durbin_watson_daily",
+    "markov_entropy_rate",
+    "source_vocab_jaccard_matrix",
 ]
 
 

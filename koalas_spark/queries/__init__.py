@@ -112,6 +112,8 @@ def _load() -> None:
         analytics27,
         analytics28,
         analytics29,
+        analytics30,
+        analytics31,
         corpus,
         graphq,
         layout,

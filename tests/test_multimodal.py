@@ -150,7 +150,7 @@ def test_decode_bmp_24bit_padding_and_flip():
 def test_decode_unknown_raises():
     from koalas_spark.operators.multimodal import decode_image
 
-    for blob in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0JFIF", b"plain text"):
+    for blob in (b"\x89PNG\r\n\x1a\n", b"plain text"):
         try:
             decode_image(blob)
             raised = False
@@ -158,7 +158,13 @@ def test_decode_unknown_raises():
             raised = True
         assert raised
     # structurally-invalid known formats raise ValueError, not crash
-    for blob in (b"P5 4 3 255\nxx", b"BM" + b"\x00" * 10):
+    # (JPEG moved here when the baseline codec landed — a truncated
+    # JPEG is now a malformed KNOWN format, not an unsupported one)
+    for blob in (
+        b"P5 4 3 255\nxx",
+        b"BM" + b"\x00" * 10,
+        b"\xff\xd8\xff\xe0JFIF",
+    ):
         try:
             decode_image(blob)
             raised = False

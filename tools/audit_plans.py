@@ -64,6 +64,8 @@ EXPECTED = {
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
+    # 190-row pair panel cross-joined with the bounded mask-count table
+    "source_vocab_jaccard_matrix": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
