@@ -86,6 +86,70 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_time(df)
 
 
+_DAILY_CACHE: dict = {}
+
+
+def daily_revenue_table(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """The day-domain daily-revenue table (d = days since 1995-01-01,
+    x = exact cents sum of o_totalprice), MATERIALIZED ONCE per
+    sf_dir as a snapshots.py versioned artifact and shared by every
+    day-domain time-series consumer (ACF, Theil-Sen, Mann-Kendall,
+    peaks, drawdown, changepoint, Bollinger, ANOVA, Fourier,
+    Durbin-Watson).
+
+    Why materialize: each of those queries' dominant cost at corpus
+    scale is the SAME orders scan + map-side-combined groupBy; the
+    result is a pure function of orders and is ~2.4k rows at any SF.
+    This is the #170 co-purchase discipline applied to the second
+    shared build the bench exposed. The artifact is a
+    replace-committed snapshot keyed by the source file's fingerprint
+    (a regenerated testdata dir can never serve stale days);
+    ``rebuild=True`` bypasses it and recomputes from orders (used by
+    the parity test proving artifact == fresh build). Oracles are
+    unaffected — they recompute the day table in SQL from orders."""
+    import os
+
+    from koalas_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders")
+    fresh = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    if rebuild:
+        return fresh
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = (
+        f"/root/repo/.tmp/artifacts/daily_revenue_{tag}"
+        f"_{st.st_size}_{int(st.st_mtime)}"
+    )
+    key = (id(spark), path)
+    got = _DAILY_CACHE.get(key)
+    if got is not None:
+        return got
+    try:
+        df = read_snapshot(spark, path)
+    except FileNotFoundError:
+        write_snapshot(fresh, path, replace=True)
+        df = read_snapshot(spark, path)
+    # ~2.4k rows at any SF: one split is fine (the consumers' windows
+    # run single-partition over the bounded domain anyway); cut the
+    # lineage once and share per session.
+    df = df.localCheckpoint(eager=False)
+    _DAILY_CACHE[key] = df
+    return df
+
+
 def dsum(c: Column | str) -> Column:
     """Order-independent (exact decimal) sum of a double expression,
     returned as double — bit-identical across engines."""

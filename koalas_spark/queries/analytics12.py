@@ -385,18 +385,9 @@ FROM m
 """,
 )
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("x")
-    )
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
     ks = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
     probe = daily.crossJoin(F.broadcast(ks)).select(
         "k", "x", (F.col("d") + F.col("k")).alias("pd")

@@ -444,18 +444,9 @@ FROM days_n, tot
 """,
 )
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("x")
-    ).localCheckpoint(eager=False)
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
     a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
     b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
     pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(

@@ -215,18 +215,9 @@ WHERE nbr.prev IS NOT NULL AND nbr.nxt IS NOT NULL
 """,
 )
 def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("x")
-    ).localCheckpoint(eager=False)
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
     wd = Window.orderBy("d")
     nbr = daily.select(
         "d",

@@ -229,18 +229,9 @@ FROM mx
 """,
 )
 def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("x")
-    )
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     dd = daily.select(
         "d",

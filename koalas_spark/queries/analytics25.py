@@ -65,18 +65,9 @@ WHERE rk = 1
 """,
 )
 def changepoint_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
-    )
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir).withColumnRenamed("x", "cents")
     # prefix sums over the bounded day domain (corpus-size-independent)
     wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
@@ -152,18 +143,9 @@ FROM flagged WHERE lhs > rhs
 """,
 )
 def bollinger_breakout_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("x")
-    )
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
     w = Window.orderBy("d").rowsBetween(-20, -1)
     roll = daily.select(
         "d",

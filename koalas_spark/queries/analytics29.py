@@ -341,18 +341,9 @@ FROM cd
 """,
 )
 def dow_anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        )
-        .cast("bigint")
-        .alias("d")
-    ).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("x")
-    )
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
     g = daily.groupBy(F.expr("CAST(d % 7 AS INT)").alias("dow")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
         F.sum("x").cast("bigint").alias("s_g"),

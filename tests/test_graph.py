@@ -133,6 +133,19 @@ def test_copurchase_artifact_matches_fresh_build(spark):
     assert len({key(r) for r in cached}) == len(cached)  # (u,v) unique
 
 
+def test_daily_revenue_artifact_matches_fresh_build(spark):
+    """The once-per-sf_dir daily-revenue snapshot artifact must be
+    value-identical to a fresh rebuild from orders (rebuild=True
+    bypasses it) — the #170 discipline applied to the day domain."""
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    sf = "/root/testdata/sf0.001"
+    cached = daily_revenue_table(spark, sf).collect()
+    fresh = daily_revenue_table(spark, sf, rebuild=True).collect()
+    assert sorted(map(tuple, cached)) == sorted(map(tuple, fresh))
+    assert len({r["d"] for r in cached}) == len(cached)  # d unique
+
+
 def test_snapshot_replace_commit(spark, tmp_path):
     """replace=True publishes a manifest listing ONLY the new data
     dir — latest readers see a full replacement, while the previous
