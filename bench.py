@@ -231,6 +231,9 @@ HEADLINE = [
     "durbin_watson_daily",
     "markov_entropy_rate",
     "source_vocab_jaccard_matrix",
+    "kcore_peeling_rounds",
+    "runs_test_daily_direction",
+    "hash_uniformity_audit",
 ]
 
 

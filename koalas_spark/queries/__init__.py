@@ -114,6 +114,7 @@ def _load() -> None:
         analytics29,
         analytics30,
         analytics31,
+        analytics32,
         corpus,
         graphq,
         layout,

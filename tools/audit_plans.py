@@ -66,6 +66,8 @@ EXPECTED = {
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
     # 190-row pair panel cross-joined with the bounded mask-count table
     "source_vocab_jaccard_matrix": {"BroadcastNestedLoopJoin"},
+    # 1-row coin-totals frame cross-joined onto the 256 cell counts
+    "hash_uniformity_audit": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
