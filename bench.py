@@ -234,6 +234,8 @@ HEADLINE = [
     "kcore_peeling_rounds",
     "runs_test_daily_direction",
     "hash_uniformity_audit",
+    "ann_recall_audit",
+    "shuffle_partition_advisor",
 ]
 
 

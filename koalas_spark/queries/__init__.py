@@ -115,6 +115,7 @@ def _load() -> None:
         analytics30,
         analytics31,
         analytics32,
+        analytics33,
         corpus,
         graphq,
         layout,

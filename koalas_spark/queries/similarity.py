@@ -17,9 +17,7 @@ _COS = (
 
 
 # 42. exact ANN baseline: top-5 cosine neighbors of 5 probe vectors.
-@query(
-    "ann_bruteforce_topk",
-    oracle=f"""
+_BF_ORACLE = f"""
 SELECT probe_id, neighbor_id, cos_sim, rk FROM (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          ROUND({_COS}, 6) AS cos_sim,
@@ -28,8 +26,10 @@ SELECT probe_id, neighbor_id, cos_sim, rk FROM (
   FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
   WHERE p.vec_id < 5) t
 WHERE rk <= 5
-""",
-)
+"""
+
+
+@query("ann_bruteforce_topk", oracle=_BF_ORACLE)
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
@@ -42,9 +42,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash of p*4096+d, projections over the 1e4-quantized integer vector
 # — see operators/similarity._bucketed), so the oracle reproduces the
 # buckets and the full ranking exactly (previously rows-only).
-@query(
-    "ann_lsh_topk",
-    oracle=f"""
+_LSH_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          list_transform(CAST(embedding AS DOUBLE[]),
@@ -70,8 +68,10 @@ SELECT probe_id, neighbor_id, cos_sim, rk FROM (
     ON p.bk = c.bk AND p.vec_id != c.vec_id
   WHERE p.vec_id < 5) t
 WHERE rk <= 5
-""",
-)
+"""
+
+
+@query("ann_lsh_topk", oracle=_LSH_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)

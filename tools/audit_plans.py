@@ -68,6 +68,8 @@ EXPECTED = {
     "source_vocab_jaccard_matrix": {"BroadcastNestedLoopJoin"},
     # 1-row coin-totals frame cross-joined onto the 256 cell counts
     "hash_uniformity_audit": {"BroadcastNestedLoopJoin"},
+    # inherits #42's bounded probe-side nested loop (5-probe frame)
+    "ann_recall_audit": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
