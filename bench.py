@@ -236,6 +236,9 @@ HEADLINE = [
     "hash_uniformity_audit",
     "ann_recall_audit",
     "shuffle_partition_advisor",
+    "weekly_type_kl_drift",
+    "source_token_jsd",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -116,6 +116,7 @@ def _load() -> None:
         analytics31,
         analytics32,
         analytics33,
+        analytics34,
         corpus,
         graphq,
         layout,

@@ -120,9 +120,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # group. Oracle: recursive-CTE min-label propagation (the min label
 # always reaches every member because no intermediate node is smaller
 # than the component minimum).
-@query(
-    "dedup_cluster_canonical",
-    oracle="""
+_CLUSTER_ORACLE = """
 WITH sh AS (
   SELECT doc_id, lang,
          list_distinct(list_transform(
@@ -151,8 +149,10 @@ lp AS (
 SELECT comp AS canonical_id, COUNT(*) AS n_docs,
        list_sort(list(node)) AS members
 FROM lp GROUP BY comp HAVING COUNT(*) >= 2
-""",
-)
+"""
+
+
+@query("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.operators.dedup import exact_jaccard_pairs
     from koalas_spark.operators.graph import connected_components

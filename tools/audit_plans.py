@@ -70,6 +70,8 @@ EXPECTED = {
     "hash_uniformity_audit": {"BroadcastNestedLoopJoin"},
     # inherits #42's bounded probe-side nested loop (5-probe frame)
     "ann_recall_audit": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-token-total frame cross-joined onto per-term rows
+    "source_token_jsd": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
