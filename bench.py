@@ -239,6 +239,7 @@ HEADLINE = [
     "weekly_type_kl_drift",
     "source_token_jsd",
     "dedup_cluster_size_histogram",
+    "lineitems_poisson_gof",
 ]
 
 

@@ -117,6 +117,7 @@ def _load() -> None:
         analytics32,
         analytics33,
         analytics34,
+        analytics35,
         corpus,
         graphq,
         layout,

@@ -318,6 +318,38 @@ def stream_user_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_first_touch_counts(spark, f"{sf_dir}/events.parquet")
 
 
+# 335. append-mode closed-window emission — the once-per-window
+# delivery contract (downstream sinks that can't upsert — Kafka
+# topics, notification fans — require append mode): only windows the
+# watermark has passed are emitted; the trailing open window is
+# withheld. Oracle: the batch tumbling agg restricted to windows with
+# end ≤ max(event ms) − 1h — exactly the final watermark the bounded
+# replay reaches (Spark tracks event time in ms; the oracle
+# replicates the ms truncation).
+@query(
+    "stream_append_closed_windows",
+    oracle="""
+WITH wm AS (
+  SELECT (epoch_ms(MAX(ts)) - 3600000) AS wm_ms FROM events),
+g AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT g.window_start, g.event_type, g.n, g.sum_value
+FROM g, wm
+WHERE epoch_ms(g.window_start) + 3600000 <= wm.wm_ms
+""",
+)
+def stream_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import (
+        stream_append_closed_windows as op,
+    )
+
+    return op(spark, f"{sf_dir}/events.parquet")
+
+
 @query("stream_incremental_neardup", oracle=_INC_ORACLE)
 def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_incremental_neardup as op

@@ -431,6 +431,46 @@ def stream_first_touch_counts(
     )
 
 
+def stream_append_closed_windows(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """APPEND-mode tumbling aggregation — the emit-on-close semantic
+    the other streaming ops don't exercise: a window row is emitted
+    exactly once, when the watermark passes its end, and the trailing
+    window(s) the watermark never passes are WITHHELD (they would
+    emit on the next day's data in production). With a bounded
+    source, the final watermark is max(event time in ms) − delay, so
+    the emitted set is exactly the windows with end ≤ that — which is
+    what the batch oracle replays. Spark runs the no-data flush batch
+    after the last data batch, so processAllAvailable sees the final
+    eviction."""
+    src = _staged_events_stream(spark, events_path, "ac")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return _run_to_memory(
+        spark,
+        agg,
+        lambda t: t.select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "sum_value",
+        ),
+        output_mode="append",
+    )
+
+
 def stream_incremental_neardup(
     spark: SparkSession,
     docs_path: str,

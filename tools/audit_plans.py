@@ -72,6 +72,8 @@ EXPECTED = {
     "ann_recall_audit": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-token-total frame cross-joined onto per-term rows
     "source_token_jsd": {"BroadcastNestedLoopJoin"},
+    # 1-row lambda-moments frame cross-joined onto the <=10 count cells
+    "lineitems_poisson_gof": {"BroadcastNestedLoopJoin"},
     # 1-row distinct-value-bytes frame cross-joined onto 1-row col stats
     "dict_encoding_advisor": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
