@@ -240,6 +240,9 @@ HEADLINE = [
     "source_token_jsd",
     "dedup_cluster_size_histogram",
     "lineitems_poisson_gof",
+    "topk_with_ties_per_nation",
+    "harmonic_mean_price",
+    "iqr_fence_outlier_rate",
 ]
 
 

@@ -118,6 +118,7 @@ def _load() -> None:
         analytics33,
         analytics34,
         analytics35,
+        analytics36,
         corpus,
         graphq,
         layout,
