@@ -243,6 +243,7 @@ HEADLINE = [
     "topk_with_ties_per_nation",
     "harmonic_mean_price",
     "iqr_fence_outlier_rate",
+    "yoy_growth_monthly",
 ]
 
 

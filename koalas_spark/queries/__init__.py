@@ -119,6 +119,7 @@ def _load() -> None:
         analytics34,
         analytics35,
         analytics36,
+        analytics37,
         corpus,
         graphq,
         layout,
