@@ -120,6 +120,11 @@ def _load() -> None:
         analytics35,
         analytics36,
         analytics37,
+        analytics38,
+        analytics39,
+        analytics40,
+        analytics41,
+        analytics42,
         corpus,
         graphq,
         layout,

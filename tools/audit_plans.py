@@ -61,6 +61,21 @@ EXPECTED = {
     "join_cardinality_estimate_audit": {"BroadcastNestedLoopJoin"},
     # 1-row contingency-total frame + <=150-cell domain cross-join
     "quantity_return_mutual_info": {"BroadcastNestedLoopJoin"},
+    # 1-row tie-correction frame cross-joined onto the 1-row pivot
+    "kruskal_wallis_quantity": {"BroadcastNestedLoopJoin"},
+    # 15-row lag dimension cross-joined onto the bounded day table
+    "cross_correlation_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row q=1 variance frame cross-joined onto the 3 q rows
+    "variance_ratio_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row moment/max frames cross-joined onto the day table
+    "grubbs_outlier_daily": {"BroadcastNestedLoopJoin"},
+    # parquet footer parse (pyarrow) runs in mapInPandas over the
+    # FILE LIST — metadata-only by design, never touches data pages
+    "footer_stats_integrity_audit": {"Python"},
+    # 32-row replica dimension cross-joined after the scan projection
+    "bootstrap_ci_mean": {"BroadcastNestedLoopJoin"},
+    # 12-candidate frames cross-joined for the bounded pair-sim matrix
+    "mmr_diversified_topk": {"BroadcastNestedLoopJoin"},
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
