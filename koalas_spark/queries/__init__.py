@@ -125,6 +125,8 @@ def _load() -> None:
         analytics40,
         analytics41,
         analytics42,
+        analytics43,
+        analytics44,
         corpus,
         graphq,
         layout,

@@ -76,6 +76,16 @@ EXPECTED = {
     "bootstrap_ci_mean": {"BroadcastNestedLoopJoin"},
     # 12-candidate frames cross-joined for the bounded pair-sim matrix
     "mmr_diversified_topk": {"BroadcastNestedLoopJoin"},
+    # 1-row day-count frame cross-joined onto the 1-row sign counts;
+    # the days^2 pair sweep is a non-equi range join (d2 > d1) over
+    # the bounded day domain — the theil_sen shape
+    "kendall_tau_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row lag-moment pivot cross-joined onto the 1-row global frame
+    "pacf_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-total frame cross-joined onto the 15-cell table
+    "theil_u_priority_status": {"BroadcastNestedLoopJoin"},
+    # four 1-row per-w mean frames cross-joined into the slope pivot
+    "hurst_rs_daily": {"BroadcastNestedLoopJoin"},
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
