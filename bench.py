@@ -244,6 +244,44 @@ HEADLINE = [
     "harmonic_mean_price",
     "iqr_fence_outlier_rate",
     "yoy_growth_monthly",
+    # round-9 continuation batches 16-26
+    "jarque_bera_ordervalue",
+    "spearman_daily_rank_corr",
+    "kruskal_wallis_quantity",
+    "cramers_v_flag_status",
+    "cross_correlation_daily",
+    "levene_quantity_flag",
+    "variance_ratio_daily",
+    "grubbs_outlier_daily",
+    "abc_classification",
+    "new_vs_returning_monthly",
+    "bootstrap_ci_mean",
+    "footer_stats_integrity_audit",
+    "jaccard_link_copurchase",
+    "doc_lang_source_entropy",
+    "sentence_stats_docs",
+    "mmr_diversified_topk",
+    "feature_hashing_counts",
+    "kendall_tau_daily",
+    "pacf_daily",
+    "local_clustering_copurchase",
+    "theil_u_priority_status",
+    "hurst_rs_daily",
+    "stream_topk_windowed",
+    "shapley_channel_attribution",
+    "source_token_hellinger",
+    "cohens_kappa_order_size",
+    "sax_transition_daily",
+    "burrows_delta_sources",
+    "customer_order_gap_arrays",
+    "brand_price_percentile",
+    "friedman_dow_test",
+    "cochran_armitage_trend",
+    "silhouette_simplified",
+    "hill_tail_index",
+    "gumbel_monthly_maxima",
+    "ewma_control_chart_daily",
+    "pipe_syntax_topk",
 ]
 
 

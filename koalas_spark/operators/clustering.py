@@ -51,12 +51,16 @@ def kmeans_lloyd(
     vec_col: str,
     k: int = 8,
     iters: int = 5,
+    second: bool = False,
 ) -> DataFrame:
     """Run `iters` Lloyd iterations; returns (id, cluster, qdist).
 
     Init: the k lowest-id vectors (deterministic). Empty clusters keep
     their previous centroid. `qdist` is the exact integer squared L2
-    distance on the 1e-4 quantized grid (i.e. true distance × 1e8)."""
+    distance on the 1e-4 quantized grid (i.e. true distance × 1e8).
+    With ``second=True`` the result also carries `qdist2`, the exact
+    squared distance to the second-nearest centroid (what the
+    simplified-silhouette quality metric needs)."""
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long")
     )
@@ -97,4 +101,11 @@ def kmeans_lloyd(
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
 
-    return assign(base).select("id", "cluster", "qdist")
+    out = assign(base)
+    if second:
+        dists = F.array(*[_q_sq_dist(F.col("q"), c) for c in centroids])
+        out = out.withColumn(
+            "qdist2", F.element_at(F.sort_array(dists), 2)
+        )
+        return out.select("id", "cluster", "qdist", "qdist2")
+    return out.select("id", "cluster", "qdist")

@@ -127,6 +127,10 @@ def _load() -> None:
         analytics42,
         analytics43,
         analytics44,
+        analytics45,
+        analytics46,
+        analytics47,
+        analytics48,
         corpus,
         graphq,
         layout,

@@ -78,7 +78,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, probes, "vec_id", "embedding", k=5, num_planes=8, dim=64)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, tail: str | None = None
+) -> str:
     """Chained-CTE replay of quantized-grid Lloyd (the bpe_learn_merges
     pattern): every iteration is one assign CTE (argmin over exact
     integer distances, MIN-pair tie-break to the lowest cluster) and
@@ -128,6 +130,13 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     for i in range(iters):
         parts.append(assign(f"c{i}", f"a{i + 1}"))
         parts.append(update(f"c{i}", f"a{i + 1}", f"c{i + 1}"))
+    if tail is not None:
+        # custom consumers (e.g. the silhouette audit) build their own
+        # final step over the converged centroid CTE c{iters}; the
+        # per-point distance expression is exposed as {dist}
+        return ",\n".join(parts) + "\n" + tail.format(
+            cent=f"c{iters}", dist=dist
+        )
     parts.append(assign(f"c{iters}", "fin"))
     return ",\n".join(parts) + "\nSELECT id, cl AS cluster, qdist FROM fin"
 

@@ -86,6 +86,18 @@ EXPECTED = {
     "theil_u_priority_status": {"BroadcastNestedLoopJoin"},
     # four 1-row per-w mean frames cross-joined into the slope pivot
     "hurst_rs_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-token-total frame cross-joined onto the cells
+    "source_token_hellinger": {"BroadcastNestedLoopJoin"},
+    # 1-row moment frame cross-joined onto the bounded day table
+    "sax_transition_daily": {"BroadcastNestedLoopJoin"},
+    # 30-row top-token frame cross-joined onto the 20 sources
+    "burrows_delta_sources": {"BroadcastNestedLoopJoin"},
+    # 1-row week-count frame cross-joined onto the 1-row dow pivot
+    "friedman_dow_test": {"BroadcastNestedLoopJoin"},
+    # 1-row x_ref frame cross-joined onto the 500 top rows
+    "hill_tail_index": {"BroadcastNestedLoopJoin"},
+    # bounded day-domain pair join (j.idx <= t.idx) + 1-row moments
+    "ewma_control_chart_daily": {"BroadcastNestedLoopJoin"},
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
