@@ -282,6 +282,14 @@ HEADLINE = [
     "gumbel_monthly_maxima",
     "ewma_control_chart_daily",
     "pipe_syntax_topk",
+    "group_by_all_revenue",
+    "set_intersect_all",
+    "semi_join_recent_customers",
+    "odds_ratio_returns",
+    "bartlett_test_quantity",
+    "atkinson_index_revenue",
+    "priority_value_skewness",
+    "rbo_token_halves",
 ]
 
 

@@ -131,6 +131,8 @@ def _load() -> None:
         analytics46,
         analytics47,
         analytics48,
+        analytics49,
+        analytics50,
         corpus,
         graphq,
         layout,

@@ -98,6 +98,8 @@ EXPECTED = {
     "hill_tail_index": {"BroadcastNestedLoopJoin"},
     # bounded day-domain pair join (j.idx <= t.idx) + 1-row moments
     "ewma_control_chart_daily": {"BroadcastNestedLoopJoin"},
+    # 50-row depth-weight table range-joined onto the shared ranks
+    "rbo_token_halves": {"BroadcastNestedLoopJoin"},
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
