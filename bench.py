@@ -290,6 +290,8 @@ HEADLINE = [
     "atkinson_index_revenue",
     "priority_value_skewness",
     "rbo_token_halves",
+    "wasserstein_quantity_years",
+    "naive_forecast_backtest",
 ]
 
 

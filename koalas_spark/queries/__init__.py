@@ -133,6 +133,7 @@ def _load() -> None:
         analytics48,
         analytics49,
         analytics50,
+        analytics51,
         corpus,
         graphq,
         layout,
