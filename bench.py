@@ -292,6 +292,9 @@ HEADLINE = [
     "rbo_token_halves",
     "wasserstein_quantity_years",
     "naive_forecast_backtest",
+    "brand_markup_stats",
+    "capture_recapture_customers",
+    "degree_powerlaw_fit",
 ]
 
 

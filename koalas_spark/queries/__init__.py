@@ -134,6 +134,7 @@ def _load() -> None:
         analytics49,
         analytics50,
         analytics51,
+        analytics52,
         corpus,
         graphq,
         layout,

@@ -100,6 +100,8 @@ EXPECTED = {
     "ewma_control_chart_daily": {"BroadcastNestedLoopJoin"},
     # 50-row depth-weight table range-joined onto the shared ranks
     "rbo_token_halves": {"BroadcastNestedLoopJoin"},
+    # four 1-row capture-count frames cross-joined into the estimate
+    "capture_recapture_customers": {"BroadcastNestedLoopJoin"},
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
     "topk_churn_halves": {"BroadcastNestedLoopJoin"},
