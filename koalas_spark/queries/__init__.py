@@ -147,6 +147,7 @@ def _load() -> None:
         similarity,
         multimodal,
         streaming,
+        tpch_partsupp,
     )
 
     _LOADED = True

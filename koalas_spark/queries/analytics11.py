@@ -58,7 +58,9 @@ c AS (
 m AS (
   SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
          CAST(SUM(nn) AS BIGINT) AS n_neg,
-         CAST(SUM(np * (2 * cum_nn + nn)) AS BIGINT) AS u2
+         CAST(SUM(CAST(np AS DECIMAL(38,0))
+                  * (2 * CAST(cum_nn AS DECIMAL(38,0)) + nn))
+              AS DECIMAL(38,0)) AS u2
   FROM c)
 SELECT n_pos, n_neg,
        ROUND(CAST(u2 AS DOUBLE)
@@ -92,10 +94,17 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = c.agg(
         F.sum("np").cast("bigint").alias("n_pos"),
         F.sum("nn").cast("bigint").alias("n_neg"),
+        # u2 ~ 2*N_pos*N_neg is corpus^2-proportional (5e23 at 1e12
+        # orders) so the product and its sum run in DECIMAL(38,0);
+        # identical to the int64 value wherever int64 didn't wrap.
         F.sum(
-            F.col("np") * (2 * F.col("cum_nn") + F.col("nn"))
+            F.col("np").cast("decimal(38,0)")
+            * (
+                2 * F.col("cum_nn").cast("decimal(38,0)")
+                + F.col("nn")
+            )
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("u2"),
     )
     return m.select(

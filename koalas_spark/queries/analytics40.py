@@ -55,8 +55,10 @@ cum AS (
          CAST(SUM(rev) OVER () AS BIGINT) AS total
   FROM bk),
 cls AS (
-  SELECT CASE WHEN 5 * cum_before < 4 * total THEN 'A'
-              WHEN 20 * cum_before < 19 * total THEN 'B'
+  SELECT CASE WHEN 5 * CAST(cum_before AS DECIMAL(38,0))
+                   < 4 * CAST(total AS DECIMAL(38,0)) THEN 'A'
+              WHEN 20 * CAST(cum_before AS DECIMAL(38,0))
+                   < 19 * CAST(total AS DECIMAL(38,0)) THEN 'B'
               ELSE 'C' END AS abc_class,
          n_parts, rev, total
   FROM cum)
@@ -99,9 +101,17 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total"),
     )
+    # threshold cross-multiplications go through DECIMAL(38,0): total
+    # lineitem cents is ~2e13 at sf1 and corpus-proportional, so
+    # `20 * total` would wrap int64 around sf1e4-1e5 (the declared
+    # 100 TB regime). DECIMAL keeps the comparison exact at any scale
+    # and is bit-identical to the int64 result wherever int64 didn't
+    # wrap, so the oracle is unchanged at test SFs.
+    cum_dec = F.col("cum_before").cast("decimal(38,0)")
+    tot_dec = F.col("total").cast("decimal(38,0)")
     cls = cum.select(
-        F.when(5 * F.col("cum_before") < 4 * F.col("total"), "A")
-        .when(20 * F.col("cum_before") < 19 * F.col("total"), "B")
+        F.when(5 * cum_dec < 4 * tot_dec, "A")
+        .when(20 * cum_dec < 19 * tot_dec, "B")
         .otherwise("C")
         .alias("abc_class"),
         "n_parts",

@@ -325,12 +325,14 @@ def user_erasure_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (type, day) counts, flag days whose count deviates from the type's
 # mean by more than 2 sample standard deviations — WITHOUT computing
 # a float mean or stddev: the inequality (x-mean)^2 > 4*var is cross-
-# multiplied into pure BIGINT arithmetic, (n*x - s)^2 * (n-1) >
+# multiplied into pure integer arithmetic, (n*x - s)^2 * (n-1) >
 # 4 * n * (n*q - s^2) with s = sum(x), q = sum(x^2), so both engines
-# agree bit-for-bit. Range bound: int64-safe while per-day counts stay
-# under ~1e8 over ~1e3 days (n*q < 2^63); past that, lift q into
-# DECIMAL(38,0). Two shuffles total: the (type, day) count and the
-# 5-row per-type moment aggregate broadcast back onto it.
+# agree bit-for-bit. s is corpus-proportional so s^2 wraps int64 past
+# ~3e9 total events; the whole comparison therefore runs in
+# DECIMAL(38,0) (max magnitude ~1e28 at 1e12 events — comfortable
+# headroom, r10 int64 audit). Two shuffles total: the (type, day)
+# count and the 5-row per-type moment aggregate broadcast back onto
+# it.
 @query(
     "event_volume_anomaly",
     oracle="""
@@ -338,7 +340,9 @@ WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
   FROM events GROUP BY 1, 2),
 mom AS (
-  SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+  SELECT event_type, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(x * x) AS DECIMAL(38,0)) AS q
   FROM daily GROUP BY event_type)
 SELECT d.event_type, d.day, CAST(d.x AS BIGINT) AS cnt,
        (m.n > 1 AND
@@ -351,9 +355,9 @@ def event_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("day"))
     daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
     mom = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("q"),
     )
     d = F.col("n") * F.col("x") - F.col("s")
     flag = (F.col("n") > 1) & (

@@ -283,7 +283,9 @@ WITH g AS (
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
              CAST(COUNT(*) AS BIGINT) AS n_windows FROM g)
 SELECT g.window_start, g.n
-FROM g, t WHERE g.n * t.n_windows > 2 * t.total
+FROM g, t
+WHERE CAST(g.n AS DECIMAL(38,0)) * t.n_windows
+      > 2 * CAST(t.total AS DECIMAL(38,0))
 """,
 )
 def stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -370,7 +370,7 @@ def stream_rate_alert_windows(
     over the final window table — exactly the foreachBatch shape a
     production alerter uses (the stream maintains the cheap per-window
     state, the sink-side batch sees the whole gauge table and applies
-    the relative threshold). The comparison is exact-integer
+    the relative threshold). The comparison is exact DECIMAL(38,0)
     cross-multiplication (n * n_windows > 2 * total), no doubles."""
     src = _staged_events_stream(spark, events_path, "ra")
     agg = (
@@ -386,7 +386,14 @@ def stream_rate_alert_windows(
         )
         return (
             t.crossJoin(F.broadcast(tot))
-            .filter(F.col("n") * F.col("n_windows") > 2 * F.col("total"))
+            .filter(
+                # n ~ corpus events in a spike window and total is
+                # corpus-proportional, so the cross-multiplication
+                # runs in DECIMAL(38,0) to stay exact past int64
+                # headroom (1e13 events x 1e6 windows wraps bigint).
+                F.col("n").cast("decimal(38,0)") * F.col("n_windows")
+                > 2 * F.col("total").cast("decimal(38,0)")
+            )
             .select(
                 F.col("w.start").alias("window_start"),
                 F.col("n").cast("bigint").alias("n"),

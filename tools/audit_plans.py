@@ -47,6 +47,13 @@ EXPECTED = {
     "q11_important_parts": {"BroadcastNestedLoopJoin"},
     "q22_prospects": {"BroadcastNestedLoopJoin"},
     "tfidf_top_terms": {"BroadcastNestedLoopJoin"},
+    # 1-row supplier-count frame cross-joined onto the part scan to
+    # derive partsupp (tpch_partsupp._partsupp); q11 also crosses the
+    # 1-row grand-total frame back onto the per-part values
+    "q2_min_cost_supplier_ps": {"BroadcastNestedLoopJoin"},
+    "q11_important_parts_ps": {"BroadcastNestedLoopJoin"},
+    "q16_supplier_part_cnt_ps": {"BroadcastNestedLoopJoin"},
+    "q20_promo_suppliers_ps": {"BroadcastNestedLoopJoin"},
     # 1-row c_max frame cross-joined onto the 5-row language counts
     "lang_temperature_resample": {"BroadcastNestedLoopJoin"},
     # 1-row max-doc-id frame cross-joined onto the per-doc novelty rows

@@ -62,6 +62,17 @@ def build(replicas: int, out_dir: str) -> None:
                 out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
         print(f"{table}: {'x' + str(replicas) if keys else 'copied'}")
+    # materialize the derived partsupp (TPC-H Q2/Q11/Q16/Q20 input) so
+    # scaled dirs carry an inspectable copy; queries always re-derive
+    # it in-flight (map-only) so the driver's plain sf dirs need no
+    # extra file — the two paths are formula-identical by construction
+    # (koalas_spark/queries/tpch_partsupp.py).
+    from koalas_spark.queries.tpch_partsupp import _partsupp
+
+    _partsupp(spark, out_dir).write.mode("overwrite").parquet(
+        f"{out_dir}/partsupp.parquet"
+    )
+    print("partsupp: derived")
 
 
 if __name__ == "__main__":
