@@ -326,6 +326,59 @@ def ahash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def dhash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — aHash's
+    gradient-based sibling (more robust to global brightness shifts:
+    bits encode LOCAL structure, not distance from a global mean).
+    This variant reads the 64 bits from the SAME integer 8x8
+    mean-pooling as ahash_images, bit (r, c) = 1 iff block (r, c)'s
+    mean exceeds its cyclic right neighbor (r, (c+1) % 8) — the cyclic
+    wrap keeps exactly 64 bits without pooling a 9th column, and the
+    comparison cross-multiplies the block AREAS (bs1 * A2 > bs2 * A1)
+    so non-multiple-of-8 images stay integer-exact. Same Arrow
+    mapInPandas placement and null-on-undecodable policy as aHash."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    img, _ = decode_image(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    hashes.append(None)
+                    continue
+                if img.ndim == 3:
+                    img = img.astype(np.int64).sum(axis=2)
+                h, w = img.shape
+                if h < 8 or w < 8:
+                    hashes.append(None)
+                    continue
+                ye = (np.arange(9) * h) // 8
+                xe = (np.arange(9) * w) // 8
+                acc = np.add.accumulate(
+                    np.add.accumulate(img.astype(np.int64), 0), 1
+                )
+                padded = np.zeros((h + 1, w + 1), dtype=np.int64)
+                padded[1:, 1:] = acc
+                bs = (
+                    padded[ye[1:, None], xe[None, 1:]]
+                    - padded[ye[:-1, None], xe[None, 1:]]
+                    - padded[ye[1:, None], xe[None, :-1]]
+                    + padded[ye[:-1, None], xe[None, :-1]]
+                )
+                areas = (ye[1:] - ye[:-1])[:, None] * (xe[1:] - xe[:-1])[None, :]
+                nb = np.roll(bs, -1, axis=1)
+                na = np.roll(areas, -1, axis=1)
+                bits = (bs * na > nb * areas).ravel()
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select(id_col, "blob").mapInPandas(
+        op, schema="doc_id bigint, dhash string"
+    )
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

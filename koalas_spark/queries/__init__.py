@@ -135,6 +135,9 @@ def _load() -> None:
         analytics50,
         analytics51,
         analytics52,
+        analytics53,
+        analytics54,
+        analytics55,
         corpus,
         graphq,
         layout,

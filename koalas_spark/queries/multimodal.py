@@ -494,3 +494,63 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("canonical_id"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# 397. perceptual difference-hash near-dup keys — #174's (aHash)
+# gradient sibling: bits encode each 8x8 block's relation to its
+# cyclic right neighbor, so the key survives global brightness shifts
+# that flip aHash bits (the standard reason pipelines key on dHash).
+# Same real-codec path (operators/multimodal.py dhash_images: decode
+# -> integer 8x8 mean-pool -> area-cross-multiplied neighbor compare,
+# Arrow mapInPandas, null on undecodable) and the same hash -> group
+# -> canonical rollup as #174; identical ASCII-oracle caveat (the
+# generator's documents are single-byte, asserted in
+# tests/test_multimodal.py). For the 16x16 P5 inputs every block is
+# 2x2, so the oracle compares raw block sums (equal areas cancel).
+@query(
+    "multimodal_image_dhash",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 256) AS r
+  FROM documents WHERE octet_length(encode(text)) >= 256),
+bs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), k ->
+             ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 1, 1))
+           + ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 2, 1))
+           + ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 17, 1))
+           + ascii(substring(r, (k // 8) * 32 + (k % 8) * 2 + 18, 1))) AS b
+  FROM src),
+h AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 64), k ->
+             CASE WHEN b[k + 1] >
+                       b[(k // 8) * 8 + ((k % 8) + 1) % 8 + 1]
+                  THEN '1' ELSE '0' END), '') AS dhash
+  FROM bs)
+SELECT dhash,
+       CAST(COUNT(*) AS BIGINT)  AS n_imgs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+FROM h GROUP BY dhash
+""",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import dhash_images
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    pgm = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P5 16 16 255\n"), "UTF-8"),
+            F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256),
+        ).alias("blob"),
+    )
+    return (
+        dhash_images(pgm, "doc_id")
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_imgs"),
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+        )
+    )

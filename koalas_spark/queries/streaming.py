@@ -357,3 +357,37 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_incremental_neardup as op
 
     return op(spark, f"{sf_dir}/documents.parquet")
+
+
+# 402. stream-stream LEFT OUTER interval join — #97's attribution
+# join with the rows the inner form drops: clicks that never convert
+# EMIT with a null purchase side once the watermark proves no match
+# can still arrive. Outer emission is watermark-driven and eviction
+# compares against the PREVIOUS batch's watermark, so the bounded
+# replay closes its tail with the sessionizer's sentinel device (one
+# far-future sentinel per join side — the operator watermark is the
+# min of both sides'; see streaming/windows.py
+# stream_left_outer_interval_join). Batch-equal after the flush, so
+# the oracle is the plain SQL left join.
+@query(
+    "stream_left_outer_join",
+    oracle="""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, p.ts AS pts
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(pts) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_expired
+FROM j GROUP BY user_id
+""",
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_left_outer_interval_join
+
+    return stream_left_outer_interval_join(spark, f"{sf_dir}/events.parquet")

@@ -575,3 +575,123 @@ def stream_incremental_neardup(
         ),
         output_mode="complete",
     )
+
+
+def stream_left_outer_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    where UNMATCHED clicks must also emit (with null purchase side)
+    once the watermark proves no purchase can still arrive.
+
+    Outer emission is watermark-driven: an unmatched click row leaves
+    state and emits nulls only when the operator watermark passes
+    c_ts + gap, and eviction runs against the PREVIOUS batch's
+    watermark — so a bounded replay needs the sessionizer's tail
+    device (streaming/stateful.stream_sessionize): after the source
+    drains, stage far-future sentinel rows (user -1, one per join
+    side so BOTH sides' watermark columns advance — the operator
+    watermark is their min) and kick two extra micro-batches. The
+    stage dir is per-run for the same reason as the sessionizer's
+    (sentinels must not lead a later run's batch 1).
+
+    Returns the per-user rollup: clicks, matched pairs, expired
+    (unmatched) clicks — batch-equal, so a plain SQL left join is the
+    oracle."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    run = _uuid.uuid4().hex[:8]
+    src, stage = _staged_events_stream(
+        spark, events_path, f"loj_{run}", with_stage_dir=True
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {gap}"
+        ),
+        "leftOuter",
+    )
+
+    batch_src = spark.read.parquet(events_path)
+    ts_dtype = dict(batch_src.dtypes)["ts"]
+
+    def _stage_sentinels(n: int, hours_ahead: int) -> None:
+        mx = batch_src.agg(F.max("ts")).first()[0]
+        if mx is None:
+            return
+        if ts_dtype == "bigint":
+            new_ts = F.lit(int(mx) + hours_ahead * 3600 * 1_000_000_000)
+        else:
+            new_ts = (
+                F.lit(mx).cast(ts_dtype)
+                + F.expr(f"INTERVAL {hours_ahead * 3600} SECONDS")
+            ).cast(ts_dtype)
+        one = (
+            batch_src.limit(1)
+            .withColumn("user_id", F.lit(-1).cast("long"))
+            .withColumn("ts", new_ts)
+        )
+        # one sentinel per join side: each side's watermark column only
+        # sees rows surviving that side's event_type filter
+        both = one.withColumn(
+            "event_type", F.explode(F.array(F.lit("click"), F.lit("purchase")))
+        )
+        tmp = os.path.join(stage, f"_sentinel_build_{n}")
+        both.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.replace(part, os.path.join(stage, f"zz_sentinel_{n}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    qname = f"loj_{run}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _stage_sentinels(1, hours_ahead=3)
+            q.processAllAvailable()
+            _stage_sentinels(2, hours_ahead=10)
+            q.processAllAvailable()
+            result = (
+                spark.table(qname)
+                .filter(F.col("c_user") != -1)
+                .groupBy(F.col("c_user").alias("user_id"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.count("p_ts").cast("bigint").alias("n_matched"),
+                    F.sum(
+                        F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("n_expired"),
+                )
+                .persist()
+            )
+            result.count()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(stage, ignore_errors=True)
+    return result

@@ -154,6 +154,14 @@ EXPECTED = {
     "multimodal_decode_resize": {"Python"},
     # real raster decode + integer aHash runs in mapInPandas
     "multimodal_image_ahash": {"Python"},
+    # real raster decode + integer dHash runs in mapInPandas
+    "multimodal_image_dhash": {"Python"},
+    # three 1-row frames (m, m_in, community stats) cross-joined
+    "modularity_copurchase": {"BroadcastNestedLoopJoin"},
+    # 1-row overall-sign frame cross-joined onto the 14-row strata
+    "simpson_reversal_audit": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-total frame cross-joined onto the 25-cell domain
+    "source_lang_enrichment": {"BroadcastNestedLoopJoin"},
     # real WAV parse + frame features run in mapInPandas
     "multimodal_audio_features": {"Python"},
     # real AVI container walk runs in mapInPandas
@@ -279,6 +287,7 @@ SKIP = {
     "stream_static_join",
     "stream_dedup_agg",
     "stream_stream_join",
+    "stream_left_outer_join",
     "stream_session_agg",
     "stream_stateful_sessions",
     "stream_windowed_distinct_users",
