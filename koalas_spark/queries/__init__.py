@@ -138,6 +138,7 @@ def _load() -> None:
         analytics53,
         analytics54,
         analytics55,
+        analytics56,
         corpus,
         graphq,
         layout,
