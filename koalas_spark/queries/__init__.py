@@ -139,6 +139,7 @@ def _load() -> None:
         analytics54,
         analytics55,
         analytics56,
+        analytics57,
         corpus,
         graphq,
         layout,

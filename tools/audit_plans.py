@@ -162,6 +162,8 @@ EXPECTED = {
     "simpson_reversal_audit": {"BroadcastNestedLoopJoin"},
     # 1-row corpus-total frame cross-joined onto the 25-cell domain
     "source_lang_enrichment": {"BroadcastNestedLoopJoin"},
+    # 1-row English-baseline frame cross-joined onto the 5-lang domain
+    "cross_lingual_length_ratio": {"BroadcastNestedLoopJoin"},
     # real WAV parse + frame features run in mapInPandas
     "multimodal_audio_features": {"Python"},
     # real AVI container walk runs in mapInPandas
