@@ -140,6 +140,7 @@ def _load() -> None:
         analytics55,
         analytics56,
         analytics57,
+        analytics58,
         corpus,
         graphq,
         layout,

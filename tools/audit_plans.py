@@ -164,6 +164,9 @@ EXPECTED = {
     "source_lang_enrichment": {"BroadcastNestedLoopJoin"},
     # 1-row English-baseline frame cross-joined onto the 5-lang domain
     "cross_lingual_length_ratio": {"BroadcastNestedLoopJoin"},
+    # 3-row offset dims cross-joined for the bounded 3x3 cell fan-out;
+    # three 1-row stats frames cross-joined for the summary row
+    "spatial_grid_join": {"BroadcastNestedLoopJoin"},
     # real WAV parse + frame features run in mapInPandas
     "multimodal_audio_features": {"Python"},
     # real AVI container walk runs in mapInPandas
