@@ -141,6 +141,7 @@ def _load() -> None:
         analytics56,
         analytics57,
         analytics58,
+        analytics59,
         corpus,
         graphq,
         layout,

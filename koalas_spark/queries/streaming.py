@@ -391,3 +391,38 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_left_outer_interval_join
 
     return stream_left_outer_interval_join(spark, f"{sf_dir}/events.parquet")
+
+
+# 420. chained stateful aggregation — Spark 4 allows MULTIPLE
+# stateful operators per streaming query: 15-min tumbling counts
+# re-windowed into hourly peak/total rows (the peak-to-mean alerting
+# shape that used to need two queries glued by a sink). Append mode:
+# an hourly row emits once the shared watermark passes its end, so
+# the bounded replay emits exactly the hours with
+# end <= max(event ms) - 1h (#335's closed-window oracle device,
+# one level up).
+@query(
+    "stream_chained_window_agg",
+    oracle="""
+WITH wm AS (
+  SELECT (epoch_ms(MAX(ts)) - 3600000) AS wm_ms FROM events),
+q AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS q_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n15
+  FROM events GROUP BY 1, 2),
+h AS (
+  SELECT time_bucket(INTERVAL '1 hour', q_start) AS window_start,
+         event_type,
+         CAST(MAX(n15) AS BIGINT) AS peak15,
+         CAST(SUM(n15) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM q GROUP BY 1, 2)
+SELECT h.window_start, h.event_type, h.peak15, h.total, h.n_cells
+FROM h, wm
+WHERE epoch_ms(h.window_start) + 3600000 <= wm.wm_ms
+""",
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_chained_window_agg
+
+    return stream_chained_window_agg(spark, f"{sf_dir}/events.parquet")

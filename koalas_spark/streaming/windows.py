@@ -695,3 +695,47 @@ def stream_left_outer_interval_join(
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(stage, ignore_errors=True)
     return result
+
+
+def stream_chained_window_agg(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """TWO stateful operators chained in one streaming query (Spark 4
+    lifted the single-stateful-operator restriction): 15-minute
+    tumbling counts per event type, re-windowed into hourly rows
+    carrying the PEAK and TOTAL of their four quarter-hour cells —
+    the ops/alerting shape (peak-to-mean per hour) that previously
+    forced two queries glued by a sink. Both levels share the source
+    watermark; in append mode an hourly row emits once the watermark
+    passes its end, so the bounded replay emits exactly the hours
+    with end <= max(event ms) - delay (the batch-replayable set — the
+    oracle). F.window over the LEVEL-1 window column is the chained
+    form."""
+    src = _staged_events_stream(spark, events_path, "chain")
+    lvl1 = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n15"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.col("w1"), "1 hour").alias("w2"), "event_type")
+        .agg(
+            F.max("n15").alias("peak15"),
+            F.sum("n15").alias("total"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+    return _run_to_memory(
+        spark,
+        lvl2,
+        lambda t: t.select(
+            F.col("w2.start").alias("window_start"),
+            "event_type",
+            F.col("peak15").cast("bigint").alias("peak15"),
+            F.col("total").cast("bigint").alias("total"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+        ),
+        output_mode="append",
+    )

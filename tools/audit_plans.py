@@ -167,6 +167,11 @@ EXPECTED = {
     # 3-row offset dims cross-joined for the bounded 3x3 cell fan-out;
     # three 1-row stats frames cross-joined for the summary row
     "spatial_grid_join": {"BroadcastNestedLoopJoin"},
+    # 7-row lag frame fanned over the bounded day table + 1-row n frame
+    # (the #254 acf shape)
+    "ljung_box_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-total frame cross-joined onto the 25-row group table
+    "theil_between_nations": {"BroadcastNestedLoopJoin"},
     # real WAV parse + frame features run in mapInPandas
     "multimodal_audio_features": {"Python"},
     # real AVI container walk runs in mapInPandas
@@ -293,6 +298,7 @@ SKIP = {
     "stream_dedup_agg",
     "stream_stream_join",
     "stream_left_outer_join",
+    "stream_chained_window_agg",
     "stream_session_agg",
     "stream_stateful_sessions",
     "stream_windowed_distinct_users",
