@@ -295,6 +295,36 @@ HEADLINE = [
     "brand_markup_stats",
     "capture_recapture_customers",
     "degree_powerlaw_fit",
+    # round-10 additions (the full 24 non-streaming new ops; the two
+    # stream_* round-10 ops are covered by their oracle gate, bench
+    # keeps the one streaming representative already present)
+    "jaccard_link_sampled",
+    "skew_hot_key_join_stats",
+    "modularity_copurchase",
+    "negbin_order_counts_fit",
+    "simpson_reversal_audit",
+    "shift_share_nation_growth",
+    "multimodal_image_dhash",
+    "page_hinkley_daily_drift",
+    "lorenz_curve_customer_deciles",
+    "source_lang_enrichment",
+    "blocking_key_workload_audit",
+    "collated_group_count",
+    "identifier_param_query",
+    "xml_roundtrip_stats",
+    "try_arithmetic_overflow_audit",
+    "bitmap_distinct_users",
+    "quality_threshold_per_source",
+    "observe_metrics_audit",
+    "cross_lingual_length_ratio",
+    "dedup_rate_by_source",
+    "spatial_grid_join",
+    "listagg_within_group",
+    "union_by_name_evolution",
+    "approx_top_k_brands",
+    "ljung_box_daily",
+    "theil_between_nations",
+    "laspeyres_paasche_index",
 ]
 
 

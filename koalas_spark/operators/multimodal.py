@@ -1621,3 +1621,130 @@ def jpeg_roundtrip(
     return df.select(id_col, "raster").mapInPandas(
         op, schema=f"{id_col} bigint, jpeg_bytes bigint, pixels binary"
     )
+
+
+# ---------------- TIFF 6.0 baseline (uncompressed grayscale) ----------------
+
+KIND_TIFF = "image/tiff"
+
+
+def encode_tiff_gray(img: np.ndarray) -> bytes:
+    """Minimal valid TIFF 6.0: little-endian header, ONE IFD with the
+    baseline-required tags for an uncompressed 8-bit grayscale image
+    (ImageWidth 256, ImageLength 257, BitsPerSample 258,
+    Compression 259 = 1, PhotometricInterpretation 262 = 1 (BlackIsZero),
+    StripOffsets 273, RowsPerStrip 278 = full height, StripByteCounts
+    279), pixel data in one strip after the IFD. Built from the public
+    TIFF 6.0 spec — no imaging libs."""
+    import struct
+
+    h, w = img.shape
+    data = img.astype(np.uint8).tobytes()
+    entries = []  # (tag, type, count, value)
+    SHORT, LONG = 3, 4
+    # strip starts right after: 8-byte header + 2 (count) + 9*12 + 4
+    strip_off = 8 + 2 + 9 * 12 + 4
+    entries = [
+        (256, LONG, 1, w),
+        (257, LONG, 1, h),
+        (258, SHORT, 1, 8),
+        (259, SHORT, 1, 1),
+        (262, SHORT, 1, 1),
+        (273, LONG, 1, strip_off),
+        (277, SHORT, 1, 1),
+        (278, LONG, 1, h),
+        (279, LONG, 1, len(data)),
+    ]
+    out = struct.pack("<2sHI", b"II", 42, 8)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == SHORT:
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next-IFD pointer: none
+    assert len(out) == strip_off
+    return out + data
+
+
+def decode_tiff_gray(blob: bytes) -> np.ndarray:
+    """Parse the IFD (both byte orders), verify baseline-grayscale
+    assumptions (compression 1, 8 bps, 1 sample), walk the strip
+    table, return (h, w) uint8. Raises ValueError on malformed input
+    and NotImplementedError on compressed/planar variants — the same
+    explicit-gap policy as the JPEG/MP3 codecs."""
+    import struct
+
+    if len(blob) < 8:
+        raise ValueError("short tiff")
+    bo = blob[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a tiff")
+    magic, ifd_off = struct.unpack(e + "HI", blob[2:8])
+    if magic != 42:
+        raise ValueError("bad tiff magic")
+    n = struct.unpack(e + "H", blob[ifd_off : ifd_off + 2])[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        o = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", blob[o : o + 8])
+        sz = {1: 1, 3: 2, 4: 4}.get(typ)
+        if sz is None:
+            continue
+        total = sz * cnt
+        if total <= 4:
+            raw = blob[o + 8 : o + 8 + total]
+        else:
+            off = struct.unpack(e + "I", blob[o + 8 : o + 12])[0]
+            raw = blob[off : off + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError("compressed tiff")
+    if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+        raise NotImplementedError("non-8-bit-gray tiff")
+    offs = tags[273]
+    counts = tags[279]
+    data = b"".join(blob[o : o + c] for o, c in zip(offs, counts))
+    if len(data) < w * h:
+        raise ValueError("truncated strips")
+    return np.frombuffer(data, np.uint8, w * h).reshape((h, w))
+
+
+def tiff_roundtrip(
+    df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 16
+) -> DataFrame:
+    """raster -> REAL TIFF encode (IFD + strip) -> REAL TIFF decode
+    (IFD walk, both byte orders) -> decoded pixels, Arrow-batched
+    mapInPandas; same lossless-proof contract as png_roundtrip."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, pix = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["raster"]):
+                ids.append(doc_id)
+                b = bytes(blob)
+                if len(b) < w * h:
+                    ns.append(None)
+                    pix.append(None)
+                    continue
+                img = np.frombuffer(b, np.uint8, w * h).reshape((h, w))
+                t = encode_tiff_gray(img)
+                ns.append(len(t))
+                pix.append(decode_tiff_gray(t).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "tiff_bytes": pd.array(ns, dtype="Int64"),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(id_col, "raster").mapInPandas(
+        op, schema="doc_id bigint, tiff_bytes bigint, pixels binary"
+    )

@@ -142,6 +142,7 @@ def _load() -> None:
         analytics57,
         analytics58,
         analytics59,
+        analytics60,
         corpus,
         graphq,
         layout,

@@ -554,3 +554,36 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("canonical_id"),
         )
     )
+
+
+# 424. REAL container #4: TIFF 6.0 — the archival/scan format the
+# PNG/GIF/JPEG trio doesn't cover. Minimal-baseline encoder (LE
+# header, one IFD, required grayscale tags, single strip) and a
+# spec-complete-enough decoder (BOTH byte orders, typed tag walk,
+# multi-strip reassembly, explicit NotImplementedError on compressed
+# / non-gray variants) in operators/multimodal.py — built from the
+# public TIFF 6.0 spec, no imaging libs. Same lossless proof as the
+# other roundtrips: decoded-pixel sha equals the raw raster sha the
+# oracle computes from the text bytes.
+@query(
+    "multimodal_tiff_roundtrip",
+    oracle="""
+SELECT doc_id, TRUE AS tiff_ok,
+       sha256(substring(text, 1, 256)) AS pixel_sha
+FROM documents WHERE octet_length(encode(text)) >= 256
+""",
+)
+def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import tiff_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    rast = docs.select(
+        "doc_id",
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256).alias("raster"),
+    )
+    out = tiff_roundtrip(rast, "doc_id", w=16, h=16)
+    return out.select(
+        "doc_id",
+        (F.col("tiff_bytes") > 0).alias("tiff_ok"),
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )

@@ -156,6 +156,10 @@ EXPECTED = {
     "multimodal_image_ahash": {"Python"},
     # real raster decode + integer dHash runs in mapInPandas
     "multimodal_image_dhash": {"Python"},
+    # real TIFF encode/decode (pure struct/numpy) runs in mapInPandas
+    "multimodal_tiff_roundtrip": {"Python"},
+    # cogrouped Arrow applyInPandas — the grouped-Python API by design
+    "cogroup_monthly_reconciliation": {"Python"},
     # three 1-row frames (m, m_in, community stats) cross-joined
     "modularity_copurchase": {"BroadcastNestedLoopJoin"},
     # 1-row overall-sign frame cross-joined onto the 14-row strata
