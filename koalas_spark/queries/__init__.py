@@ -143,6 +143,7 @@ def _load() -> None:
         analytics58,
         analytics59,
         analytics60,
+        analytics61,
         corpus,
         graphq,
         layout,

@@ -160,6 +160,9 @@ EXPECTED = {
     "multimodal_tiff_roundtrip": {"Python"},
     # cogrouped Arrow applyInPandas — the grouped-Python API by design
     "cogroup_monthly_reconciliation": {"Python"},
+    # Arrow-optimized scalar Python UDF (ArrowEvalPython) — the demo
+    # of Spark 4's sanctioned UDF path, by design
+    "arrow_python_udf_demo": {"Python"},
     # three 1-row frames (m, m_in, community stats) cross-joined
     "modularity_copurchase": {"BroadcastNestedLoopJoin"},
     # 1-row overall-sign frame cross-joined onto the 14-row strata
