@@ -325,6 +325,13 @@ HEADLINE = [
     "ljung_box_daily",
     "theil_between_nations",
     "laspeyres_paasche_index",
+    "multimodal_tiff_roundtrip",
+    "cogroup_monthly_reconciliation",
+    "array_ops_showcase",
+    "map_ops_showcase",
+    "arrow_python_udf_demo",
+    "event_journey_edit_distance",
+    "csv_corrupt_record_audit",
 ]
 
 

@@ -144,6 +144,7 @@ def _load() -> None:
         analytics59,
         analytics60,
         analytics61,
+        analytics62,
         corpus,
         graphq,
         layout,

@@ -421,7 +421,7 @@ def shift_share_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("nation", "prio", "yr")
         .agg(F.sum("lcents").cast("bigint").alias("cents"))

@@ -282,7 +282,7 @@ def approx_top_k_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
         F.col("p_brand").alias("brand")
     )
     topk = j.agg(F.expr("approx_top_k(brand, 25)").alias("tk")).select(

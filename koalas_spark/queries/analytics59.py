@@ -210,7 +210,7 @@ def theil_between_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     sp = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_custkey", "c_nationkey")
         .agg(
             F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))

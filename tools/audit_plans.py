@@ -163,6 +163,8 @@ EXPECTED = {
     # Arrow-optimized scalar Python UDF (ArrowEvalPython) — the demo
     # of Spark 4's sanctioned UDF path, by design
     "arrow_python_udf_demo": {"Python"},
+    # 1-row modal-journey frame cross-joined onto the per-user journeys
+    "event_journey_edit_distance": {"BroadcastNestedLoopJoin"},
     # three 1-row frames (m, m_in, community stats) cross-joined
     "modularity_copurchase": {"BroadcastNestedLoopJoin"},
     # 1-row overall-sign frame cross-joined onto the 14-row strata
