@@ -85,22 +85,21 @@ def cogroup_monthly_reconciliation(
     )
 
     def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # set arithmetic, not pd.merge: the per-GROUP call overhead is
+        # the API's cost floor (~ms/key), so the body must not add a
+        # frame-construction tax on top (merge+indicator measured ~3x
+        # slower per call at sf0.1's 15k keys)
         k = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
-        j = left[["m", "cents"]].merge(
-            right[["m", "nev"]], on="m", how="outer", indicator=True
-        )
+        lm = set(left["m"])
+        rm = set(right["m"])
         return pd.DataFrame(
             {
                 "custkey": [int(k)],
-                "months_both": [int((j["_merge"] == "both").sum())],
-                "months_orders_only": [
-                    int((j["_merge"] == "left_only").sum())
-                ],
-                "months_events_only": [
-                    int((j["_merge"] == "right_only").sum())
-                ],
-                "cents_total": [int(j["cents"].fillna(0).sum())],
-                "events_total": [int(j["nev"].fillna(0).sum())],
+                "months_both": [len(lm & rm)],
+                "months_orders_only": [len(lm - rm)],
+                "months_events_only": [len(rm - lm)],
+                "cents_total": [int(left["cents"].sum()) if len(left) else 0],
+                "events_total": [int(right["nev"].sum()) if len(right) else 0],
             }
         )
 
