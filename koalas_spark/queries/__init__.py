@@ -145,6 +145,7 @@ def _load() -> None:
         analytics60,
         analytics61,
         analytics62,
+        analytics63,
         corpus,
         graphq,
         layout,
