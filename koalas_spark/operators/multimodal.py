@@ -1748,3 +1748,152 @@ def tiff_roundtrip(
     return df.select(id_col, "raster").mapInPandas(
         op, schema="doc_id bigint, tiff_bytes bigint, pixels binary"
     )
+
+
+# ---------------- QOI (Quite OK Image, 2022 spec) ----------------
+
+KIND_QOI = "image/qoi"
+
+
+def encode_qoi_gray(img: np.ndarray) -> bytes:
+    """QOI encoder for a grayscale raster (emitted as 3-channel, r=g=b
+    — QOI has no gray mode): the full op set from the public 1-page
+    spec — RUN (up to 62), INDEX (64-slot (3r+5g+7b+11a)%64 hash
+    table), DIFF (2-bit channel deltas, bias 2), LUMA (6-bit dg plus
+    4-bit dr-dg/db-dg), RGB literal fallback; big-endian dims header,
+    7x00+01 end marker."""
+    import struct
+
+    h, w = img.shape
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr = pg = pb = 0
+    pa = 255
+    run = 0
+    for v in img.astype(np.uint8).ravel():
+        r = g = b = int(v)
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        k = (r * 3 + g * 5 + b * 7 + pa * 11) % 64
+        if index[k] == (r, g, b, pa):
+            out.append(k)
+        else:
+            index[k] = (r, g, b, pa)
+            dr = (r - pr) & 0xFF
+            dg = (g - pg) & 0xFF
+            db = (b - pb) & 0xFF
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(
+                    0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2) | (sdb + 2)
+                )
+            elif (
+                -32 <= sdg <= 31
+                and -8 <= sdr - sdg <= 7
+                and -8 <= sdb - sdg <= 7
+            ):
+                out.append(0x80 | (sdg + 32))
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi_gray(blob: bytes) -> np.ndarray:
+    """QOI decoder (3-channel stream; returns the red channel as the
+    grayscale raster — encoder wrote r=g=b). Full op set; ValueError
+    on bad magic/truncation, NotImplementedError on 4-channel."""
+    import struct
+
+    if blob[:4] != b"qoif":
+        raise ValueError("not a qoi")
+    w, h, ch, _cs = struct.unpack(">IIBB", blob[4:14])
+    if ch == 4:
+        raise NotImplementedError("rgba qoi")
+    n = w * h
+    px = np.empty(n, np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r = g = b = 0
+    a = 255
+    i, p = 14, 0
+    while p < n:
+        if i >= len(blob) - 7:
+            raise ValueError("truncated qoi")
+        op = blob[i]
+        i += 1
+        if op == 0xFE:
+            r, g, b = blob[i], blob[i + 1], blob[i + 2]
+            i += 3
+        elif op == 0xFF:
+            raise NotImplementedError("rgba op in rgb stream")
+        else:
+            tag = op >> 6
+            if tag == 0:  # INDEX
+                r, g, b, a = index[op & 0x3F]
+            elif tag == 1:  # DIFF
+                r = (r + ((op >> 4) & 3) - 2) & 0xFF
+                g = (g + ((op >> 2) & 3) - 2) & 0xFF
+                b = (b + (op & 3) - 2) & 0xFF
+            elif tag == 2:  # LUMA
+                dg = (op & 0x3F) - 32
+                nx = blob[i]
+                i += 1
+                r = (r + dg + ((nx >> 4) & 0xF) - 8) & 0xFF
+                g = (g + dg) & 0xFF
+                b = (b + dg + (nx & 0xF) - 8) & 0xFF
+            else:  # RUN
+                run = (op & 0x3F) + 1
+                px[p : p + run] = r
+                p += run
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        px[p] = r
+        p += 1
+    return px.reshape((h, w))
+
+
+def qoi_roundtrip(
+    df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 16
+) -> DataFrame:
+    """raster -> REAL QOI encode -> REAL QOI decode -> decoded pixels,
+    Arrow-batched mapInPandas; same lossless-proof contract as the
+    PNG/GIF/TIFF roundtrips."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, pix = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["raster"]):
+                ids.append(doc_id)
+                b = bytes(blob)
+                if len(b) < w * h:
+                    ns.append(None)
+                    pix.append(None)
+                    continue
+                img = np.frombuffer(b, np.uint8, w * h).reshape((h, w))
+                q = encode_qoi_gray(img)
+                ns.append(len(q))
+                pix.append(decode_qoi_gray(q).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "qoi_bytes": pd.array(ns, dtype="Int64"),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(id_col, "raster").mapInPandas(
+        op, schema="doc_id bigint, qoi_bytes bigint, pixels binary"
+    )

@@ -587,3 +587,34 @@ def multimodal_tiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tiff_bytes") > 0).alias("tiff_ok"),
         F.sha2("pixels", 256).alias("pixel_sha"),
     )
+
+
+# 432. REAL container #5: QOI (Quite OK Image, 2022) — the modern
+# lossless byte-stream codec (RUN / 64-slot hash INDEX / 2-bit DIFF /
+# LUMA / literal ops), implemented in full from the public one-page
+# spec (operators/multimodal.py encode_qoi_gray/decode_qoi_gray; the
+# decoder raises explicitly on RGBA streams). Same Arrow mapInPandas
+# placement and lossless proof as PNG/GIF/TIFF/JPEG: decoded-pixel
+# sha equals the raw raster sha the oracle computes from text bytes.
+@query(
+    "multimodal_qoi_roundtrip",
+    oracle="""
+SELECT doc_id, TRUE AS qoi_ok,
+       sha256(substring(text, 1, 256)) AS pixel_sha
+FROM documents WHERE octet_length(encode(text)) >= 256
+""",
+)
+def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import qoi_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    rast = docs.select(
+        "doc_id",
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256).alias("raster"),
+    )
+    out = qoi_roundtrip(rast, "doc_id", w=16, h=16)
+    return out.select(
+        "doc_id",
+        (F.col("qoi_bytes") > 0).alias("qoi_ok"),
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )

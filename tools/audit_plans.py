@@ -158,6 +158,8 @@ EXPECTED = {
     "multimodal_image_dhash": {"Python"},
     # real TIFF encode/decode (pure struct/numpy) runs in mapInPandas
     "multimodal_tiff_roundtrip": {"Python"},
+    # real QOI encode/decode (pure python/numpy) runs in mapInPandas
+    "multimodal_qoi_roundtrip": {"Python"},
     # cogrouped Arrow applyInPandas — the grouped-Python API by design
     "cogroup_monthly_reconciliation": {"Python"},
     # Arrow-optimized scalar Python UDF (ArrowEvalPython) — the demo
