@@ -332,6 +332,8 @@ HEADLINE = [
     "arrow_python_udf_demo",
     "event_journey_edit_distance",
     "csv_corrupt_record_audit",
+    "embedding_dim_stats",
+    "multimodal_qoi_roundtrip",
 ]
 
 
