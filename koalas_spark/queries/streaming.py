@@ -426,3 +426,28 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.streaming.windows import stream_chained_window_agg
 
     return stream_chained_window_agg(spark, f"{sf_dir}/events.parquet")
+
+
+# 433. checkpointed restart recovery — exactly-once actually
+# EXERCISED, not just configured: half the source streams into an
+# idempotent foreachBatch lake, the query stops, a NEW query on the
+# SAME checkpoint picks up only the unseen half (committed file-source
+# offsets), and the lake must equal one batch pass over the full
+# source — a lost row (offset skipped) or a duplicate (replay not
+# absorbed) both break the oracle equality. See
+# streaming/windows.py stream_checkpoint_restart.
+@query(
+    "stream_checkpoint_restart",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.streaming.windows import stream_checkpoint_restart
+
+    return stream_checkpoint_restart(
+        spark, f"{sf_dir}/events.parquet", "/root/repo/.tmp/ckpt_restart"
+    )

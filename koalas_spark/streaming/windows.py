@@ -739,3 +739,79 @@ def stream_chained_window_agg(
         ),
         output_mode="append",
     )
+
+
+def stream_checkpoint_restart(
+    spark: SparkSession, events_path: str, out_dir: str
+) -> DataFrame:
+    """Checkpointed RESTART recovery — the exactly-once claim actually
+    exercised: phase 1 streams HALF the source (even event_ids) into a
+    foreachBatch parquet lake under a checkpoint, then the query
+    STOPS; phase 2 stages the other half and starts a NEW query on the
+    SAME checkpoint — the file source's committed offsets make the
+    restarted query process only the unseen file, and the
+    idempotent-by-batch_id sink absorbs any replay. The re-read lake
+    must equal ONE batch pass over the full source (the oracle): rows
+    lost on restart or duplicated on replay both break the equality.
+    Stage/checkpoint/lake are keyed by the source fingerprint and kept
+    (idempotent re-runs skip the replay, like the other staged ops)."""
+    import glob
+    import hashlib
+    import shutil
+
+    from koalas_spark.sources.io import normalize_event_time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = hashlib.md5(events_path.encode()).hexdigest()[:8]
+    tag += f"_{int(os.stat(events_path).st_mtime)}"
+    stage = f"{out_dir}_stage_{tag}"
+    ckpt = f"{out_dir}_ckpt_{tag}"
+    lake = f"{out_dir}_lake_{tag}"
+    done = os.path.join(lake, "_DONE")
+    schema = spark.read.parquet(events_path).schema
+
+    def start_query():
+        src = normalize_event_time(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(lake, f"batch_id={batch_id}")
+            )
+
+        return (
+            src.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    if not os.path.exists(done):
+        for d in (stage, ckpt, lake):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        full = spark.read.parquet(events_path)
+        # deterministic halves; each written as one file, staged in turn
+        for n, half in (
+            (1, full.filter(F.col("event_id") % 2 == 0)),
+            (2, full.filter(F.col("event_id") % 2 != 0)),
+        ):
+            tmp = f"{stage}_build_{n}"
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.replace(part, os.path.join(stage, f"half_{n}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            q = start_query()  # phase 1: fresh; phase 2: RESTART
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    out = spark.read.parquet(lake)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -310,6 +310,7 @@ SKIP = {
     "stream_stream_join",
     "stream_left_outer_join",
     "stream_chained_window_agg",
+    "stream_checkpoint_restart",
     "stream_session_agg",
     "stream_stateful_sessions",
     "stream_windowed_distinct_users",
