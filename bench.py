@@ -334,6 +334,8 @@ HEADLINE = [
     "csv_corrupt_record_audit",
     "embedding_dim_stats",
     "multimodal_qoi_roundtrip",
+    "stream_checkpoint_restart",
+    "revenue_bridge_yoy",
 ]
 
 

@@ -146,6 +146,7 @@ def _load() -> None:
         analytics61,
         analytics62,
         analytics63,
+        analytics64,
         corpus,
         graphq,
         layout,
