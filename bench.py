@@ -336,6 +336,8 @@ HEADLINE = [
     "multimodal_qoi_roundtrip",
     "stream_checkpoint_restart",
     "revenue_bridge_yoy",
+    "events_dow_hour_heatmap",
+    "nation_trade_balance",
 ]
 
 

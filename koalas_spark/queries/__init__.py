@@ -147,6 +147,7 @@ def _load() -> None:
         analytics62,
         analytics63,
         analytics64,
+        analytics65,
         corpus,
         graphq,
         layout,
