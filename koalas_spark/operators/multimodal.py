@@ -6,15 +6,20 @@ mapInPandas, partition sizing — is real and tested, and all three
 media families parse REAL container bytes with pure-numpy codecs:
 images via ``decode_image`` (netpbm P5/P6, uncompressed BMP 8/24-bit),
 audio via ``decode_wav`` (RIFF chunk walk, PCM16), video via
-``decode_avi`` (nested LIST walk, uncompressed DIB frames). Two REAL
-compressed codecs are implemented from their public specs: PNG
-(stdlib-zlib DEFLATE, CRC chunks, all 5 unfilters — encode_png /
-decode_png) and GIF87a (variable-width LSB-first LZW — encode_gif /
-decode_gif). The remaining codecs (JPEG/MP3/H.264) raise
-``NotImplementedError`` because their libraries are not in this
-container — plugging PIL/ffmpeg into the decode functions is the only
-change a real deployment makes; every Spark-side shape stays
-identical.
+``decode_avi`` (nested LIST walk, uncompressed DIB frames). Five REAL
+compressed/structured container codecs are implemented from their
+public specs: PNG (stdlib-zlib DEFLATE, CRC chunks, all 5 unfilters —
+encode_png / decode_png), GIF87a (variable-width LSB-first LZW —
+encode_gif / decode_gif), baseline-sequential JPEG (ITU-T T.81 DCT +
+Annex-K Huffman — encode_jpeg / decode_jpeg), TIFF 6.0 baseline
+grayscale (IFD walk, both byte orders — encode_tiff_gray /
+decode_tiff_gray), and QOI grayscale (encode_qoi_gray /
+decode_qoi_gray). The codecs NOT implemented (MP3/H.264 and the
+exotic variants each decoder names — progressive JPEG, compressed
+TIFF, …) raise ``NotImplementedError`` because their libraries are
+not in this container — plugging PIL/ffmpeg into the decode functions
+is the only change a real deployment makes; every Spark-side shape
+stays identical.
 
 At 100 TB: binary payloads ride in the same parquet row groups;
 ``spark.sql.files.maxPartitionBytes`` bounds per-task memory, and the
@@ -1687,29 +1692,37 @@ def decode_tiff_gray(blob: bytes) -> np.ndarray:
     magic, ifd_off = struct.unpack(e + "HI", blob[2:8])
     if magic != 42:
         raise ValueError("bad tiff magic")
-    n = struct.unpack(e + "H", blob[ifd_off : ifd_off + 2])[0]
-    tags: dict[int, list[int]] = {}
-    for i in range(n):
-        o = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(e + "HHI", blob[o : o + 8])
-        sz = {1: 1, 3: 2, 4: 4}.get(typ)
-        if sz is None:
-            continue
-        total = sz * cnt
-        if total <= 4:
-            raw = blob[o + 8 : o + 8 + total]
-        else:
-            off = struct.unpack(e + "I", blob[o + 8 : o + 12])[0]
-            raw = blob[off : off + total]
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
-    w, h = tags[256][0], tags[257][0]
-    if tags.get(259, [1])[0] != 1:
-        raise NotImplementedError("compressed tiff")
-    if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
-        raise NotImplementedError("non-8-bit-gray tiff")
-    offs = tags[273]
-    counts = tags[279]
+    # a truncated IFD / out-of-range offset surfaces as struct.error
+    # and a missing required tag (256/257/273/279) as KeyError; both
+    # are malformed input, so re-raise as the documented ValueError
+    # (callers' null-on-undecodable policy catches only
+    # ValueError/NotImplementedError)
+    try:
+        n = struct.unpack(e + "H", blob[ifd_off : ifd_off + 2])[0]
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            o = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(e + "HHI", blob[o : o + 8])
+            sz = {1: 1, 3: 2, 4: 4}.get(typ)
+            if sz is None:
+                continue
+            total = sz * cnt
+            if total <= 4:
+                raw = blob[o + 8 : o + 8 + total]
+            else:
+                off = struct.unpack(e + "I", blob[o + 8 : o + 12])[0]
+                raw = blob[off : off + total]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
+        if tags.get(259, [1])[0] != 1:
+            raise NotImplementedError("compressed tiff")
+        if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+            raise NotImplementedError("non-8-bit-gray tiff")
+        w, h = tags[256][0], tags[257][0]
+        offs = tags[273]
+        counts = tags[279]
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"malformed tiff: {exc}") from exc
     data = b"".join(blob[o : o + c] for o, c in zip(offs, counts))
     if len(data) < w * h:
         raise ValueError("truncated strips")

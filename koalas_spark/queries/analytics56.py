@@ -88,9 +88,12 @@ GROUP BY o_orderpriority ORDER BY priority
 """,
 )
 def identifier_param_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    view = f"orders_param_{uuid.uuid4().hex[:8]}"
+    # fixed view name, createOrReplaceTempView: repeated invocations
+    # (any sf_dir) reuse ONE catalog entry instead of accumulating
+    # uuid-named views across a session (ADVICE r10). Safe because
+    # spark.sql analyzes eagerly — the returned DataFrame captures the
+    # view's resolved plan, so a later replace can't retarget it.
+    view = "orders_param_identifier_demo"
     _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
         """

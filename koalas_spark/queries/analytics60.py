@@ -26,8 +26,17 @@ from koalas_spark.queries.analytics import _t
 # matched/order-only/event-only months. Both inputs pre-aggregate to
 # (key, month) BEFORE the cogroup, so per-key pandas frames are
 # months-bounded (<= ~28 rows), never raw-corpus sized — the
-# discipline that keeps grouped-Python viable at 100 TB. Oracle: the
-# same reconciliation as a SQL FULL OUTER join.
+# discipline that keeps grouped-Python viable at 100 TB. The SECOND
+# bound (VERDICT r10 #1): the demo runs over a deterministic
+# md5-coin PROBE subset of customers (substr(md5('cgr:'||k),1,2) <
+# '08', p = 1/32 — the #220 fixed-permutation device), because the
+# API's cost floor is one Python call PER KEY: linear in |customers|
+# is exactly the term you would not pay corpus-wide at 100 TB when
+# the JVM join twin (#113) exists. The probe set still exercises
+# every cogroup path (both-sides, order-only and event-only keys all
+# survive the coin); the coin is applied BEFORE the pre-aggregations
+# so both shuffles also carry only probe rows. Oracle: the same
+# reconciliation as a SQL FULL OUTER join under the same coin.
 @query(
     "cogroup_monthly_reconciliation",
     oracle="""
@@ -36,11 +45,15 @@ WITH om AS (
            AS m,
          CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
            AS BIGINT) AS cents
-  FROM orders GROUP BY 1, 2),
+  FROM orders
+  WHERE substr(md5('cgr:' || CAST(o_custkey AS VARCHAR)), 1, 2) < '08'
+  GROUP BY 1, 2),
 em AS (
   SELECT user_id AS k, CAST(strftime(ts, '%Y-%m') AS VARCHAR) AS m,
          CAST(COUNT(*) AS BIGINT) AS nev
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE substr(md5('cgr:' || CAST(user_id AS VARCHAR)), 1, 2) < '08'
+  GROUP BY 1, 2),
 j AS (
   SELECT COALESCE(om.k, em.k) AS k,
          om.m AS om_m, em.m AS em_m,
@@ -63,8 +76,17 @@ def cogroup_monthly_reconciliation(
 ) -> DataFrame:
     import pandas as pd
 
+    def probe_coin(col):
+        return (
+            F.substring(
+                F.md5(F.concat(F.lit("cgr:"), col.cast("string"))), 1, 2
+            )
+            < "08"
+        )
+
     om = (
         _t(spark, sf_dir, "orders")
+        .filter(probe_coin(F.col("o_custkey")))
         .groupBy(
             F.col("o_custkey").alias("k"),
             F.date_format("o_orderdate", "yyyy-MM").alias("m"),
@@ -77,6 +99,7 @@ def cogroup_monthly_reconciliation(
     )
     em = (
         _t(spark, sf_dir, "events")
+        .filter(probe_coin(F.col("user_id")))
         .groupBy(
             F.col("user_id").alias("k"),
             F.date_format("ts", "yyyy-MM").alias("m"),
