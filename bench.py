@@ -295,9 +295,10 @@ HEADLINE = [
     "brand_markup_stats",
     "capture_recapture_customers",
     "degree_powerlaw_fit",
-    # round-10 additions (the full 24 non-streaming new ops; the two
-    # stream_* round-10 ops are covered by their oracle gate, bench
-    # keeps the one streaming representative already present)
+    # round-10 additions (40 entries; stream_checkpoint_restart is
+    # deliberately included — the staged-lake restart path is a real
+    # cost surface — while the other stream_* round-10 op rides its
+    # oracle gate only)
     "jaccard_link_sampled",
     "skew_hot_key_join_stats",
     "modularity_copurchase",
@@ -408,39 +409,65 @@ def run(sf_dir: str, names: list[str]) -> dict:
 
 
 def emit(result: dict) -> str:
-    """One stdout JSON line that ALWAYS fits the driver's tail capture.
+    """One stdout JSON line that ALWAYS fits the driver's tail capture
+    and carries EVERY per-query timing (VERDICT r10 #5).
 
     The driver records only the last ~2000 chars of stdout; r6 and r7
     both landed as `parsed: null` because the full per-query line grew
-    past that window and its head was cut mid-JSON (VERDICT r7 #5).
-    The full-precision record goes to BENCH_local.json (committed each
-    round as BENCH_r{N}_local.json); the printed line keeps the spec
-    shape but budgets itself under 1900 chars — 2-decimal timings,
-    short metric, and if the registry has grown past what fits, the
-    cheapest per-query entries are dropped (noted via queries_omitted;
-    `value` stays the total over ALL queries)."""
+    past that window and its head was cut mid-JSON (VERDICT r7 #5), and
+    the r8-r10 fix (slowest-20 only) parsed but dropped ~260 timings.
+    A {name: sec} object cannot fit 284 entries in 2000 chars at ANY
+    key length, so the full set rides as `qsec_cs` — an array of
+    integer CENTISECONDS, one per query, in the exact order of the
+    name list this function writes to BENCH_KEYS.json (committed; also
+    mirrored in BENCH_local.json's full-precision map). queries_omitted
+    is therefore 0: zip(BENCH_KEYS.json, qsec_cs) reconstructs every
+    timing to 10 ms. The spec's `queries` object is kept for the
+    slowest tail (the actionable entries), greedily sized to whatever
+    fits the remaining line budget."""
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_local.json"), "w") as f:
         json.dump(result, f, indent=1)
+    names = list(result["queries"])
+    with open(os.path.join(here, "BENCH_KEYS.json"), "w") as f:
+        json.dump(
+            {
+                "note": "qsec_cs[i] in the bench stdout line is the"
+                " centisecond timing of queries[i]",
+                "queries": names,
+            },
+            f,
+            indent=1,
+        )
     line = dict(result)
     line["metric"] = "headline wall sec (min of 3-5 alternating samples)"
+    line["queries_omitted"] = 0
+    line["qsec_cs"] = [
+        int(round(result["queries"][n] * 100)) for n in names
+    ]
+    line["qkeys"] = "BENCH_KEYS.json"
+    # safety for future registry growth: if the centisecond array alone
+    # would blow the tail window, downshift to deciseconds (still every
+    # query, 100 ms resolution) — BENCH_local.json keeps full precision
+    probe = dict(line)
+    probe["queries"] = {}
+    if len(json.dumps(probe, separators=(",", ":"))) > 1750:
+        del line["qsec_cs"]
+        line["qsec_ds"] = [
+            int(round(result["queries"][n] * 10)) for n in names
+        ]
     rounded = {k: round(v, 2) for k, v in result["queries"].items()}
-    # stdout carries ONLY the slowest 20 (the actionable tail); the
-    # full per-query map lives in BENCH_local.json. A fixed cap keeps
-    # the line a stable size as the registry grows instead of
-    # truncating mid-window (VERDICT r8 #7).
-    slowest = sorted(rounded.items(), key=lambda kv: -kv[1])[:20]
-    if len(rounded) > len(slowest):
-        line["queries"] = dict(sorted(slowest))
-        line["queries_omitted"] = len(rounded) - len(slowest)
-        line["queries_full"] = "BENCH_local.json"
-    else:
-        line["queries"] = rounded
+    slowest = sorted(rounded.items(), key=lambda kv: -kv[1])
+    # grow the spec-shape `queries` object with the slowest entries
+    # until the line budget is spent (full map = BENCH_local.json)
+    line["queries"] = {}
     s = json.dumps(line, separators=(",", ":"))
-    while len(s) > 1900 and line["queries"]:
-        slowest = slowest[:-1]
-        line["queries"] = dict(sorted(slowest))
-        line["queries_omitted"] = len(rounded) - len(slowest)
+    for k, v in slowest:
+        entry_len = len(json.dumps({k: v})) + 1
+        if len(s) + entry_len > 1900:
+            break
+        line["queries"][k] = v
+        line["queries"] = dict(sorted(line["queries"].items()))
         s = json.dumps(line, separators=(",", ":"))
     return s
 
