@@ -69,18 +69,18 @@ EXPECTED = {
     # 1-row contingency-total frame + <=150-cell domain cross-join
     "quantity_return_mutual_info": {"BroadcastNestedLoopJoin"},
     # 1-row tie-correction frame cross-joined onto the 1-row pivot
-    "kruskal_wallis_quantity": {"BroadcastNestedLoopJoin"},
+    "kruskal_wallis_quantity": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 15-row lag dimension cross-joined onto the bounded day table
     "cross_correlation_daily": {"BroadcastNestedLoopJoin"},
     # 1-row q=1 variance frame cross-joined onto the 3 q rows
-    "variance_ratio_daily": {"BroadcastNestedLoopJoin"},
+    "variance_ratio_daily": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 1-row moment/max frames cross-joined onto the day table
     "grubbs_outlier_daily": {"BroadcastNestedLoopJoin"},
     # parquet footer parse (pyarrow) runs in mapInPandas over the
     # FILE LIST — metadata-only by design, never touches data pages
     "footer_stats_integrity_audit": {"Python"},
     # 32-row replica dimension cross-joined after the scan projection
-    "bootstrap_ci_mean": {"BroadcastNestedLoopJoin"},
+    "bootstrap_ci_mean": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 12-candidate frames cross-joined for the bounded pair-sim matrix
     "mmr_diversified_topk": {"BroadcastNestedLoopJoin"},
     # 1-row day-count frame cross-joined onto the 1-row sign counts;
@@ -96,22 +96,22 @@ EXPECTED = {
     # 1-row corpus-token-total frame cross-joined onto the cells
     "source_token_hellinger": {"BroadcastNestedLoopJoin"},
     # 1-row moment frame cross-joined onto the bounded day table
-    "sax_transition_daily": {"BroadcastNestedLoopJoin"},
+    "sax_transition_daily": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 30-row top-token frame cross-joined onto the 20 sources
     "burrows_delta_sources": {"BroadcastNestedLoopJoin"},
     # 1-row week-count frame cross-joined onto the 1-row dow pivot
     "friedman_dow_test": {"BroadcastNestedLoopJoin"},
     # 1-row x_ref frame cross-joined onto the 500 top rows
-    "hill_tail_index": {"BroadcastNestedLoopJoin"},
+    "hill_tail_index": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # bounded day-domain pair join (j.idx <= t.idx) + 1-row moments
     "ewma_control_chart_daily": {"BroadcastNestedLoopJoin"},
     # 50-row depth-weight table range-joined onto the shared ranks
-    "rbo_token_halves": {"BroadcastNestedLoopJoin"},
+    "rbo_token_halves": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # four 1-row capture-count frames cross-joined into the estimate
     "capture_recapture_customers": {"BroadcastNestedLoopJoin"},
     # 20-row top-k frames: non-equi Kendall pair self-join + 1-row
     # churn-count frames cross-joined for the single summary row
-    "topk_churn_halves": {"BroadcastNestedLoopJoin"},
+    "topk_churn_halves": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 190-row pair panel cross-joined with the bounded mask-count table
     "source_vocab_jaccard_matrix": {"BroadcastNestedLoopJoin"},
     # 1-row coin-totals frame cross-joined onto the 256 cell counts
@@ -180,7 +180,7 @@ EXPECTED = {
     "spatial_grid_join": {"BroadcastNestedLoopJoin"},
     # 7-row lag frame fanned over the bounded day table + 1-row n frame
     # (the #254 acf shape)
-    "ljung_box_daily": {"BroadcastNestedLoopJoin"},
+    "ljung_box_daily": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 1-row corpus-total frame cross-joined onto the 25-row group table
     "theil_between_nations": {"BroadcastNestedLoopJoin"},
     # real WAV parse + frame features run in mapInPandas
@@ -299,6 +299,45 @@ EXPECTED = {
     # explode(split()) (#53). This is the ONLY allowed row-wise entry —
     # BatchEvalPython anywhere else still fails the audit.
     "udtf_term_counts": {"BatchEvalPython"},
+    # ---- bounded global windows surfaced by the r11 per-NODE window
+    # gate (the old plan-wide conjunction missed them); each is also
+    # STRUCTURALLY verified bounded by _global_window_audit ----
+    # value-domain bucket table (digit-count x leading-2-digits)
+    "abc_classification": {"GlobalWindow"},
+    # rank over the sketch's <=maxItemsTracked frequent-item rows
+    "approx_top_k_brands": {"GlobalWindow"},
+    # trailing-20-day band over the ~2.4k-row day-domain artifact
+    "bollinger_breakout_days": {"GlobalWindow"},
+    # prefix sums over the day-domain artifact (split-scan pricing)
+    "changepoint_binseg_daily": {"GlobalWindow"},
+    # lag-1 residual window over the day-domain artifact
+    "durbin_watson_daily": {"GlobalWindow"},
+    # NTILE over the <=customer-domain cents table (decile collapse);
+    # bounded: deciles computed on the per-customer AGGREGATE
+    "lorenz_curve_customer_deciles": {"GlobalWindow"},
+    # lag-7 over the day-domain artifact
+    "naive_forecast_backtest": {"GlobalWindow"},
+    # running mean/min over the day-domain artifact
+    "page_hinkley_daily_drift": {"GlobalWindow"},
+    # prefix sum over the per-doc token-count AGGREGATE (1000-token
+    # grid; window input is docs-domain, collapsed before the window)
+    "pps_token_sample": {"GlobalWindow"},
+    # run counting over the day-domain artifact
+    "runs_test_daily_direction": {"GlobalWindow"},
+    # tie-averaged ranks over the day-domain collapse
+    "spearman_daily_rank_corr": {"GlobalWindow"},
+    # variational-distance ranks over the bounded QI x band domain
+    "t_closeness_audit": {"GlobalWindow"},
+    # CDF gaps over the bounded quantity-value domain (1..50)
+    "wasserstein_quantity_years": {"GlobalWindow"},
+    # per-week KL over the bounded (week x type) domain
+    "weekly_type_kl_drift": {"GlobalWindow"},
+    # Wilson-bound rank over the 25-row brand aggregate
+    "wilson_return_ranking": {"GlobalWindow"},
+    # WOE/IV over the bounded 1..50 quantity-bin domain
+    "woe_iv_quantity_bins": {"GlobalWindow"},
+    # lag-12 over the bounded month domain
+    "yoy_growth_monthly": {"GlobalWindow"},
 }
 
 # streaming queries execute at construction; their returned frame is a
@@ -320,6 +359,159 @@ SKIP = {
 }
 
 
+def _top_level_brackets(s: str) -> list[str]:
+    """Top-level [...] groups of an Arguments line (nesting-aware)."""
+    out, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                out.append(s[start + 1 : i])
+                start = None
+    return out
+
+
+def _partitionless_window_ids(plan: str) -> set[int]:
+    """Node ids of Window operators with an EMPTY partition spec.
+
+    The formatted detail block for a partitioned window ends
+    `Arguments: [exprs], [partition spec], [order spec]`; a
+    partition-less one omits the partition group entirely
+    (`[exprs], [order spec]` — order entries carry ASC/DESC — or just
+    `[exprs]` for a pure global frame)."""
+    import re
+
+    ids = set()
+    for m in re.finditer(
+        r"^\((\d+)\) Window\s*\n((?:.+\n)*?)(?=\n|\Z)", plan, re.M
+    ):
+        nid = int(m.group(1))
+        arg = re.search(r"^Arguments: (.*)$", m.group(2), re.M)
+        if not arg:
+            continue
+        groups = _top_level_brackets(arg.group(1))
+        if len(groups) >= 3:
+            continue  # partitioned
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # [exprs], [partition spec] (unordered window)
+        ids.add(nid)
+    return ids
+
+
+# node names that bound the row count flowing into a global window:
+# an aggregate collapses to its group domain, a top-k/limit is k rows,
+# a LocalTableScan is a literal driver-side frame
+_BOUNDED_PRODUCERS = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalTableScan",
+)
+
+# A `Scan ExistingRDD` leaf is a lineage-cut localCheckpoint — the
+# aggregate that bounded it ran before the checkpoint and is invisible
+# to this plan. The ONLY checkpointed artifacts a global window may
+# sit on are listed here by exact output-column signature, each with
+# its bound named; any other ExistingRDD leaf stays unbounded.
+_BOUNDED_ARTIFACT_SCANS = {
+    # daily_revenue_table (queries/analytics.py:92): the day-domain
+    # (d = days since 1995-01-01, x = cents) table — ~2.4k rows at
+    # ANY corpus size; the groupBy(day) collapse runs before the
+    # snapshot+checkpoint
+    frozenset({"d", "x"}): "daily_revenue day-domain table (~2.4k rows)",
+}
+
+
+def _bounded_rdd_scan_ids(plan: str) -> set[int]:
+    """Node ids of Scan ExistingRDD leaves whose output-column set
+    matches a named bounded-artifact signature."""
+    import re
+
+    ids = set()
+    for m in re.finditer(
+        r"^\((\d+)\) Scan ExistingRDD[^\n]*\n((?:.+\n)*?)(?=\n|\Z)",
+        plan,
+        re.M,
+    ):
+        arg = re.search(r"^(?:Arguments|Output).*$", m.group(2), re.M)
+        if not arg:
+            continue
+        cols = frozenset(
+            c for c, _ in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)", arg.group(0))
+        )
+        if cols in _BOUNDED_ARTIFACT_SCANS:
+            ids.add(int(m.group(1)))
+    return ids
+
+
+def _global_window_audit(plan: str) -> tuple[int, int]:
+    """(n partition-less Window nodes, n of those with NO bounded-
+    domain producer on the path to every leaf of their subtree).
+
+    Walks the formatted plan's tree section (indent = depth). A
+    partition-less Window funnels its whole input through one task —
+    legitimate ONLY above a bounded domain (VERDICT r10 #8); this is
+    the machine check that every such window really does sit above an
+    aggregate/limit/local-table on ALL input paths, so a corpus-scale
+    global window cannot land behind an allowlist entry. Scope: the
+    main plan tree (subquery trees hang off 1-row scalar frames)."""
+    import re
+
+    pl_ids = _partitionless_window_ids(plan)
+    if not pl_ids:
+        return (0, 0)
+    bounded_rdd = _bounded_rdd_scan_ids(plan)
+    # parse tree lines: (name-start position, node name, id)
+    nodes = []
+    for ln in plan.splitlines():
+        if ln.startswith("== "):
+            continue
+        if not ln.strip():
+            break
+        m = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", ln)
+        if m:
+            nodes.append((m.start(1), m.group(1).strip(), int(m.group(2))))
+    n_unbounded = 0
+    for i, (pos, nname, nid) in enumerate(nodes):
+        if nid not in pl_ids:
+            continue
+        # subtree = following lines strictly deeper than the window
+        j = i + 1
+        sub = []
+        while j < len(nodes) and nodes[j][0] > pos:
+            sub.append(nodes[j])
+            j += 1
+        # every leaf path must cross a bounded producer. Walk leaves:
+        # a leaf is a subtree node with no deeper node after it.
+        ok = True
+        prefix = []  # stack of (pos, is_marker)
+        for k, (p2, name2, nid2) in enumerate(sub):
+            while prefix and prefix[-1][0] >= p2:
+                prefix.pop()
+            is_marker = any(name2.startswith(b) for b in _BOUNDED_PRODUCERS)
+            prefix.append((p2, is_marker))
+            is_leaf = k + 1 >= len(sub) or sub[k + 1][0] <= p2
+            if is_leaf:
+                bounded = (
+                    any(mk for _, mk in prefix)
+                    or name2.startswith("LocalTableScan")
+                    or nid2 in bounded_rdd
+                )
+                if not bounded:
+                    ok = False
+                    break
+        if not ok or not sub:
+            n_unbounded += 1
+    return (len(pl_ids), n_unbounded)
+
+
 def inspect_plan(plan: str, name: str) -> dict:
     """Extract the audited facts from one formatted plan string."""
     import re
@@ -333,12 +525,18 @@ def inspect_plan(plan: str, name: str) -> dict:
         flags.append("BatchEvalPython(row-wise!)")
     if "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan:
         flags.append("Python")
-    # a Window above an Exchange SinglePartition funnels the whole
-    # input through ONE task — the classic global-top-k scale trap.
-    # (Single-row final aggregates also use SinglePartition but have
-    # no Window node, so this coarse conjunction stays precise.)
-    if "Window" in plan and "Exchange SinglePartition" in plan:
+    # a partition-less Window funnels its whole input through ONE task
+    # — the classic global-top-k scale trap. Detected per NODE (empty
+    # partition spec in the detail block), and each instance is
+    # structurally checked to sit above a bounded-domain producer on
+    # every input path (VERDICT r10 #8). GlobalWindow is allowlistable
+    # in EXPECTED (the comment names the bound); UnboundedGlobalWindow
+    # never is — deliberately NOT a prefix of any EXPECTED entry.
+    n_gw, n_gw_unbounded = _global_window_audit(plan)
+    if n_gw:
         flags.append("GlobalWindow")
+    if n_gw_unbounded:
+        flags.append("UnboundedGlobalWindow!")
     unexpected = [
         f for f in flags if not any(f.startswith(e) for e in EXPECTED.get(name, set()))
     ]
