@@ -339,6 +339,19 @@ HEADLINE = [
     "revenue_bridge_yoy",
     "events_dow_hour_heatmap",
     "nation_trade_balance",
+    # round-11 additions (all 11 new ops; holt/jackknife share the
+    # daily artifact, local_clustering the co-purchase artifact)
+    "mcnemar_test_eras",
+    "jackknife_variance_daily",
+    "holt_linear_daily",
+    "type_token_ratio_sources",
+    "simpson_diversity_sources",
+    "text_perplexity_unigram",
+    "local_clustering_probes",
+    "execute_immediate_param",
+    "multimodal_tga_roundtrip",
+    "multimodal_audio_vad",
+    "multimodal_video_motion",
 ]
 
 

@@ -1910,3 +1910,255 @@ def qoi_roundtrip(
     return df.select(id_col, "raster").mapInPandas(
         op, schema="doc_id bigint, qoi_bytes bigint, pixels binary"
     )
+
+
+# ---------------- real container #6: TGA (Truevision TARGA) ----------------
+# Implemented from the public TGA 2.0 spec (Truevision, 1991): 18-byte
+# header, image types 3 (uncompressed grayscale) and 11 (RLE
+# grayscale). RLE packets: header bit7=1 -> run of (n&0x7F)+1 copies
+# of ONE pixel; bit7=0 -> (n&0x7F)+1 literal pixels. The encoder is
+# the compressed path (type 11, top-down via descriptor bit 5, runs
+# never crossing row boundaries per the spec's recommendation); the
+# decoder accepts both types and both vertical orientations.
+
+KIND_TGA = "image/x-tga"
+
+
+def encode_tga_gray(img: np.ndarray) -> bytes:
+    """REAL RLE TGA encoder for an (h, w) uint8 grayscale raster:
+    type-11 (RLE black&white), top-down, per-row run packets."""
+    h, w = img.shape
+    hdr = bytes(
+        [
+            0,  # id length
+            0,  # no color map
+            11,  # RLE grayscale
+            0, 0, 0, 0, 0,  # color map spec (none)
+            0, 0, 0, 0,  # x/y origin
+            w & 0xFF, w >> 8,
+            h & 0xFF, h >> 8,
+            8,  # bits per pixel
+            0x20,  # descriptor: top-down rows
+        ]
+    )
+    out = bytearray(hdr)
+    for row in img:
+        i = 0
+        while i < w:
+            run = 1
+            while i + run < w and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run > 1:
+                out.append(0x80 | (run - 1))
+                out.append(int(row[i]))
+                i += run
+            else:
+                # literal packet: collect until next run of >=3 starts
+                j = i + 1
+                while (
+                    j < w
+                    and j - i < 128
+                    and not (
+                        j + 2 < w and row[j] == row[j + 1] == row[j + 2]
+                    )
+                ):
+                    j += 1
+                out.append((j - i) - 1)
+                out.extend(int(x) for x in row[i:j])
+                i = j
+    return bytes(out)
+
+
+def decode_tga_gray(blob: bytes) -> np.ndarray:
+    """REAL TGA decoder: types 3 (raw) and 11 (RLE) grayscale, both
+    vertical orientations. ValueError on malformed input,
+    NotImplementedError on color-mapped/truecolor/other types — the
+    same explicit-gap policy as the JPEG/TIFF codecs."""
+    if len(blob) < 18:
+        raise ValueError("short tga")
+    id_len, cmap_type, img_type = blob[0], blob[1], blob[2]
+    if cmap_type != 0:
+        raise NotImplementedError("color-mapped tga")
+    if img_type not in (3, 11):
+        raise NotImplementedError(f"tga type {img_type}")
+    w = blob[12] | (blob[13] << 8)
+    h = blob[14] | (blob[15] << 8)
+    bpp, desc = blob[16], blob[17]
+    if bpp != 8:
+        raise NotImplementedError("non-8-bit tga")
+    if w == 0 or h == 0:
+        raise ValueError("empty tga")
+    i = 18 + id_len
+    n = w * h
+    try:
+        if img_type == 3:
+            px = np.frombuffer(blob, np.uint8, n, offset=i).copy()
+        else:
+            px = np.empty(n, np.uint8)
+            p = 0
+            while p < n:
+                head = blob[i]
+                i += 1
+                cnt = (head & 0x7F) + 1
+                if head & 0x80:
+                    px[p : p + cnt] = blob[i]
+                    i += 1
+                else:
+                    px[p : p + cnt] = np.frombuffer(
+                        blob, np.uint8, cnt, offset=i
+                    )
+                    i += cnt
+                p += cnt
+            if p != n:
+                raise ValueError("rle overrun")
+    except (IndexError, ValueError) as exc:
+        raise ValueError(f"malformed tga: {exc}") from exc
+    img = px.reshape((h, w))
+    if not desc & 0x20:  # bottom-up (the spec default)
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def tga_roundtrip(
+    df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 16
+) -> DataFrame:
+    """raster -> REAL RLE TGA encode -> REAL TGA decode -> decoded
+    pixels, Arrow-batched mapInPandas; same lossless-proof contract as
+    the PNG/GIF/TIFF/QOI roundtrips (tga_bytes stays out of the oracle
+    — RLE stream length is not SQL-derivable)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, pix = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["raster"]):
+                ids.append(doc_id)
+                b = bytes(blob)
+                if len(b) < w * h:
+                    ns.append(None)
+                    pix.append(None)
+                    continue
+                img = np.frombuffer(b, np.uint8, w * h).reshape((h, w))
+                t = encode_tga_gray(img)
+                ns.append(len(t))
+                pix.append(decode_tga_gray(t).tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "tga_bytes": pd.array(ns, dtype="Int64"),
+                    "pixels": pix,
+                }
+            )
+
+    return df.select(id_col, "raster").mapInPandas(
+        op, schema="doc_id bigint, tga_bytes bigint, pixels binary"
+    )
+
+
+# ---------------- audio VAD + video motion (derived analyses) ----------------
+
+
+def audio_vad_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_samples: int = 100,
+    thr_sumsq: int = 30_000_000_000,
+) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL WAV blobs:
+    decode (RIFF walk), frame, per-frame EXACT int64 sum-of-squares
+    energy, frame active iff sumsq >= thr_sumsq, then run-length the
+    active mask into segments. Integer energies make the active mask
+    — and therefore every output — exactly replayable by the SQL
+    oracle (a float RMS threshold would be cut-point fragile). One
+    row per doc: frames, active frames, segment count, longest run."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf_, na_, ns_, mr_ = [], [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    samples, _rate = decode_wav(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    nf_.append(None)
+                    na_.append(None)
+                    ns_.append(None)
+                    mr_.append(None)
+                    continue
+                nf = len(samples) // frame_samples
+                fr = samples[: nf * frame_samples].reshape(nf, frame_samples)
+                xi = fr.astype(np.int64)
+                energy = (xi * xi).sum(axis=1)
+                active = energy >= thr_sumsq
+                # segment = maximal run of active frames
+                edges = np.diff(np.concatenate(([0], active.view(np.int8), [0])))
+                starts = np.flatnonzero(edges == 1)
+                ends = np.flatnonzero(edges == -1)
+                nf_.append(nf)
+                na_.append(int(active.sum()))
+                ns_.append(len(starts))
+                mr_.append(int((ends - starts).max()) if len(starts) else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": pd.array(nf_, dtype="Int64"),
+                    "n_active": pd.array(na_, dtype="Int64"),
+                    "n_segments": pd.array(ns_, dtype="Int64"),
+                    "max_run": pd.array(mr_, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(
+        op,
+        schema=(
+            "doc_id bigint, n_frames bigint, n_active bigint,"
+            " n_segments bigint, max_run bigint"
+        ),
+    )
+
+
+def video_motion_profile(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame-differencing motion detector over REAL AVI blobs: decode
+    (nested LIST walk), then per consecutive frame pair the EXACT
+    int64 sum of absolute pixel differences (SAD — the canonical
+    block-matching cost). One row per doc: frame count, total SAD
+    across pairs, and peak pair SAD — the scene-cut / static-content
+    signal a video curation pipeline thresholds on."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf_, ts_, ps_ = [], [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    frames, _wh = decode_avi(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    nf_.append(None)
+                    ts_.append(None)
+                    ps_.append(None)
+                    continue
+                nf = len(frames)
+                nf_.append(nf)
+                if nf < 2:
+                    ts_.append(0)
+                    ps_.append(0)
+                    continue
+                x = frames.astype(np.int64).reshape(nf, -1)
+                sad = np.abs(x[1:] - x[:-1]).sum(axis=1)
+                ts_.append(int(sad.sum()))
+                ps_.append(int(sad.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": pd.array(nf_, dtype="Int64"),
+                    "sad_total": pd.array(ts_, dtype="Int64"),
+                    "sad_peak": pd.array(ps_, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, "blob").mapInPandas(
+        op,
+        schema=(
+            "doc_id bigint, n_frames bigint, sad_total bigint,"
+            " sad_peak bigint"
+        ),
+    )

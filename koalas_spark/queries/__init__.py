@@ -148,6 +148,7 @@ def _load() -> None:
         analytics63,
         analytics64,
         analytics65,
+        analytics66,
         corpus,
         graphq,
         layout,

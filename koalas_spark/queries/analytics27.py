@@ -74,12 +74,16 @@ FROM sizes
 """,
 )
 def harmonic_centrality_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _bfs_layer_counts,
+        _copurchase_edge_set,
+        graph_ckpt_level,
+    )
 
     e0 = _copurchase_edge_set(spark, sf_dir)
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=graph_ckpt_level(sf_dir))
     probes = (
         e.select("u")
         .filter(F.col("u") % 97 == 0)
@@ -88,33 +92,32 @@ def harmonic_centrality_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select(F.col("u").alias("s"))
     )
-    reach = probes.select("s", F.col("s").alias("node"))
-    sizes = []
-    for _hop in (1, 2, 3):
-        expanded = reach.join(e, reach.node == e.u).select(
-            "s", F.col("v").alias("node")
-        )
-        reach = (
-            reach.unionAll(expanded).distinct().localCheckpoint(eager=False)
-        )
-        sizes.append(
-            reach.groupBy("s").agg(
-                F.count(F.lit(1)).cast("bigint").alias(f"r{_hop}")
+    # per-hop frontier rotation + eager counts (VERDICT r10 #2, the
+    # khop discipline): 15 (probe, hop, n) integers of driver state;
+    # superseded hop checkpoints are unpersisted in the helper and
+    # the per-call symmetrized edge checkpoint released here.
+    counts = _bfs_layer_counts(e, probes.select("s"), hops=3)
+    e.unpersist()
+    rows = []
+    for s in sorted({s for s, _ in counts}):
+        r1, r2, r3 = (counts[(s, h)] for h in (1, 2, 3))
+        rows.append(
+            (
+                int(s),
+                int(r1 - 1),
+                int(r2 - r1),
+                int(r3 - r2),
+                int(
+                    (r1 - 1) * 1000000000
+                    + (r2 - r1) * 500000000
+                    + (r3 - r2) * 333333333
+                ),
             )
         )
-    j = sizes[0].join(sizes[1], "s").join(sizes[2], "s")
-    return j.select(
-        F.col("s").alias("probe"),
-        (F.col("r1") - 1).cast("bigint").alias("n_d1"),
-        (F.col("r2") - F.col("r1")).cast("bigint").alias("n_d2"),
-        (F.col("r3") - F.col("r2")).cast("bigint").alias("n_d3"),
-        (
-            (F.col("r1") - 1) * 1000000000
-            + (F.col("r2") - F.col("r1")) * 500000000
-            + (F.col("r3") - F.col("r2")) * 333333333
-        )
-        .cast("bigint")
-        .alias("harmonic_nano"),
+    return spark.createDataFrame(
+        rows,
+        "probe bigint, n_d1 bigint, n_d2 bigint, n_d3 bigint,"
+        " harmonic_nano bigint",
     )
 
 

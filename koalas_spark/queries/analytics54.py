@@ -76,15 +76,26 @@ FROM agg
 """,
 )
 def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        graph_ckpt_level,
+    )
 
-    e = _copurchase_edge_set(spark, sf_dir).localCheckpoint(eager=False)
+    lvl = graph_ckpt_level(sf_dir)
+    e = _copurchase_edge_set(spark, sf_dir).localCheckpoint(
+        eager=False, storageLevel=lvl
+    )
     d = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=lvl)
     labels = d.select(F.col("u").alias("x")).distinct().select(
         "x", F.col("x").alias("lbl")
     )
+    # LP rotation lifecycle (VERDICT r10 #2, the #242 discipline):
+    # eager checkpoints + unpersist the superseded round. Unlike #242,
+    # e/d/final labels all feed the returned modularity rollup, so
+    # only the intermediate rotation is releasable here.
+    prev = None
     for _ in range(2):
         votes = (
             d.join(
@@ -102,8 +113,11 @@ def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .select("x", (-F.col("m.nl")).alias("lbl"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
     deg = d.groupBy(F.col("u").alias("x")).agg(
         F.count(F.lit(1)).cast("bigint").alias("dg")
     )

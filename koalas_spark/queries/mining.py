@@ -340,11 +340,49 @@ def copurchase_pair_table(
     # would serialize on one core. Re-spread it across the cluster and
     # cut lineage (same discipline as analytics._spread), memoized per
     # session so the bench's 8 consumers share one checkpointed copy.
+    # Storage level (VERDICT r10 #2): localCheckpoint defaults to
+    # MEMORY_AND_DESER storage, and at sf10 this session-lifetime
+    # derivative deserializes to ~12.8 GB — one of the two owners of
+    # the 48g-heap requirement (SCALING.md r10). When the SOURCE
+    # lineitem exceeds ~0.5 GB on disk (sf10's is 1.1 GB; sf1 is
+    # 103 MB) the checkpoint goes DISK_ONLY instead: each consumer
+    # re-reads compact serialized blocks from local disk, trading
+    # ~seconds of re-read for ~13 GB of resident heap. Driver-graded
+    # SFs (<=0.1) keep the in-memory default.
     df = df.repartition(
         spark.sparkContext.defaultParallelism, "u", "v"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=graph_ckpt_level(sf_dir))
     _PAIR_CACHE[key] = df
     return df
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes of a parquet file OR directory (scaled testdata
+    dirs are multi-part directories; os.stat alone reads the inode)."""
+    if os.path.isfile(path):
+        return os.stat(path).st_size
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.stat(os.path.join(root, f)).st_size
+    return total
+
+
+def graph_ckpt_level(sf_dir: str):
+    """Storage level for GRAPH-SIZED per-call checkpoints (symmetrized
+    edge frames, adjacency derivatives): DISK_ONLY once the source
+    lineitem exceeds ~0.5 GB on disk (sf10+), None (the MEMORY_AND_
+    DESER default) at driver-graded SFs. The deserialized twin of a
+    ~300M-edge symmetrized frame measured 18-19 GB resident at sf10
+    (SCALING.md r10) — serialized disk blocks bound the heap instead,
+    trading a local re-read per consumer pass."""
+    if _dir_bytes(os.path.join(sf_dir, "lineitem.parquet")) > (
+        512 * 1024 * 1024
+    ):
+        from pyspark.storagelevel import StorageLevel
+
+        return StorageLevel.DISK_ONLY
+    return None
 
 
 def _copurchase_edge_set(
@@ -361,6 +399,47 @@ def _copurchase_edge_set(
     if pre_distinct_filter is not None:
         e = e.filter(pre_distinct_filter)
     return e
+
+
+def _bfs_layer_counts(
+    e: DataFrame, seeds: DataFrame, hops: int
+) -> dict[tuple[int, int], int]:
+    """Cumulative BFS reach sizes per (seed, hop) with a BOUNDED
+    frontier lifecycle (VERDICT r10 #2).
+
+    ``e`` is a symmetrized (u, v) edge frame, ``seeds`` a 1-column
+    frame of seed ids ``s``. Each hop expands reach x edges (a
+    key-partitioned equi-join + distinct), localCheckpoints the new
+    cumulative reach EAGERLY, collects its |seeds|-row count frame
+    (bounded driver state), and immediately unpersists the SUPERSEDED
+    previous hop's checkpoint — so at any instant at most two hop
+    states are resident instead of all of them. At sf10 the khop
+    frontier state measured 18-19 GB when every hop's checkpoint was
+    kept (SCALING.md r10); this rotation is what lets the graph
+    cohort run in a 16g heap. Counts are exact integers, so the
+    driver-side assembly is value-identical to the old lazy plan."""
+    reach = seeds.select("s", F.col("s").alias("node"))
+    counts: dict[tuple[int, int], int] = {}
+    prev = None
+    for hop in range(1, hops + 1):
+        expanded = reach.join(e, reach["node"] == e["u"]).select(
+            "s", F.col("v").alias("node")
+        )
+        reach = reach.unionAll(expanded).distinct().localCheckpoint(
+            eager=True
+        )
+        for r in (
+            reach.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        ):
+            counts[(r["s"], hop)] = r["n"]
+        if prev is not None:
+            prev.unpersist()
+        prev = reach
+    if prev is not None:
+        prev.unpersist()
+    return counts
 
 
 def _count_triangles(e: DataFrame) -> DataFrame:

@@ -618,3 +618,155 @@ def multimodal_qoi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("qoi_bytes") > 0).alias("qoi_ok"),
         F.sha2("pixels", 256).alias("pixel_sha"),
     )
+
+
+# 445. REAL container #6: TGA (Truevision TARGA 2.0) — the first
+# roundtrip through a RUN-LENGTH-compressed raster path (PNG/GIF/JPEG
+# exercise DEFLATE/LZW/DCT; TIFF/QOI are strip/byte-stream): type-11
+# RLE grayscale encoder (per-row packets, top-down descriptor) and a
+# decoder accepting raw + RLE types and both vertical orientations,
+# from the public spec (operators/multimodal.py encode_tga_gray /
+# decode_tga_gray). Same Arrow mapInPandas placement and lossless
+# proof as the other five containers: decoded-pixel sha equals the
+# raw raster sha the oracle computes from text bytes (RLE stream
+# length stays out — not SQL-derivable).
+@query(
+    "multimodal_tga_roundtrip",
+    oracle="""
+SELECT doc_id, TRUE AS tga_ok,
+       sha256(substring(text, 1, 256)) AS pixel_sha
+FROM documents WHERE octet_length(encode(text)) >= 256
+""",
+)
+def multimodal_tga_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import tga_roundtrip
+
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 256)
+    rast = docs.select(
+        "doc_id",
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, 256).alias("raster"),
+    )
+    out = tga_roundtrip(rast, "doc_id", w=16, h=16)
+    return out.select(
+        "doc_id",
+        (F.col("tga_bytes") > 0).alias("tga_ok"),
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )
+
+
+# 446. energy-threshold VAD over REAL WAV blobs — the segmentation
+# front-end every speech-data pipeline runs before transcription
+# (keep speechy spans, drop silence): #139's staged 400-byte PCM16
+# WAVs, per-100-sample-frame EXACT int64 energy, active iff
+# energy >= 3e10 (the integer threshold that splits whitespace-quiet
+# frames ~6.8e9 from text-loud frames ~7e10 on this corpus), then
+# run-length segmentation of the active mask. The oracle replays the
+# identical integer energies from the text's char pairs — no floats
+# anywhere, so the mask (and every count) is exact on both engines.
+@query(
+    "multimodal_audio_vad",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 400) AS d
+  FROM documents WHERE octet_length(encode(text)) >= 400),
+fr AS (
+  SELECT doc_id, d, unnest(range(0, 2)) AS frame_no FROM src),
+en AS (
+  SELECT doc_id, frame_no,
+         list_sum(list_transform(range(0, 100),
+             i -> CAST(POW(ascii(substring(d, CAST(frame_no*200 + 2*i + 1 AS BIGINT), 1))
+                       + 256 * ascii(substring(d, CAST(frame_no*200 + 2*i + 2 AS BIGINT), 1)), 2)
+                  AS BIGINT))) AS sumsq
+  FROM fr),
+act AS (
+  SELECT doc_id, frame_no,
+         CASE WHEN sumsq >= 30000000000 THEN 1 ELSE 0 END AS a
+  FROM en),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         CAST(SUM(a) AS BIGINT) AS n_active,
+         CAST(MAX(a0) AS BIGINT) AS a0, CAST(MAX(a1) AS BIGINT) AS a1
+  FROM (SELECT doc_id, frame_no, a,
+               CASE WHEN frame_no = 0 THEN a END AS a0,
+               CASE WHEN frame_no = 1 THEN a END AS a1
+        FROM act) t
+  GROUP BY doc_id)
+SELECT doc_id, n_frames, n_active,
+       CAST(CASE WHEN a0 = 1 AND a1 = 1 THEN 1
+                 ELSE a0 + a1 END AS BIGINT) AS n_segments,
+       CAST(CASE WHEN a0 = 1 AND a1 = 1 THEN 2
+                 WHEN a0 = 1 OR a1 = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS max_run
+FROM agg
+""",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import audio_vad_segments
+
+    HDR = (
+        "52494646b401000057415645666d7420100000000100"
+        "0100803e0000007d0000020010006461746190010000"
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 400)
+    wav = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(HDR)),
+            F.substring(F.encode(F.col("text"), "UTF-8"), 1, 400),
+        ).alias("blob"),
+    )
+    return audio_vad_segments(wav, "doc_id", frame_samples=100)
+
+
+# 447. frame-differencing motion over REAL AVI blobs — the scene-cut /
+# static-content signal a video curation pipeline thresholds on
+# (static slideshows score ~0, cuts spike): #140's staged 2-frame
+# 8x8x3 AVIs, per-pair EXACT int64 sum of absolute differences (SAD,
+# the block-matching cost). The oracle replays the identical SAD from
+# the two 192-byte text slices — integer throughout.
+@query(
+    "multimodal_video_motion",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, substring(text, 1, 384) AS d
+  FROM documents WHERE octet_length(encode(text)) >= 384),
+sad AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 192),
+             i -> CAST(ABS(ascii(substring(d, CAST(192 + i + 1 AS BIGINT), 1))
+                         - ascii(substring(d, CAST(i + 1 AS BIGINT), 1)))
+                  AS BIGINT))) AS s
+  FROM src)
+SELECT doc_id, CAST(2 AS BIGINT) AS n_frames,
+       CAST(s AS BIGINT) AS sad_total, CAST(s AS BIGINT) AS sad_peak
+FROM sad
+""",
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.operators.multimodal import video_motion_profile
+
+    HDR0 = (
+        "5249464668020000415649204c495354c00000006864726c61766968380000"
+        "00409c0000c01200000000000010000000020000000000000001000000c000"
+        "0000080000000800000000000000000000000000000000000000"
+        "4c495354740000007374726c7374726838000000766964734449422000000000"
+        "0000000000000000010000001900000000000000020000"
+        "00c0000000ffffffff000000000000000000000000"
+        "73747266280000002800000008000000080000000100180000000000c000"
+        "0000000000000000000000000000000000004c495354940100006d6f7669"
+        "30306462c0000000"
+    )
+    MID = "30306462c0000000"
+    docs = _t(spark, sf_dir, "documents").filter(F.octet_length("text") >= 384)
+    t = F.encode(F.col("text"), "UTF-8")
+    avi = docs.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(HDR0)),
+            F.substring(t, 1, 192),
+            F.unhex(F.lit(MID)),
+            F.substring(t, 193, 192),
+        ).alias("blob"),
+    )
+    return video_motion_profile(avi, "doc_id")

@@ -796,3 +796,60 @@ def test_jpeg_roundtrip_query_null_path(spark):
     assert rows[2]["jpeg_bytes"] > 0
     pix = np.frombuffer(rows[2]["pixels"], np.uint8).reshape(32, 32)
     assert np.all(pix[0:8, 0:8] == 0) and np.all(pix[24:32, 24:32] == 15)
+
+
+def test_tga_codec_roundtrip_fuzz():
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import (
+        decode_tga_gray,
+        encode_tga_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(60):
+        h, w = rng.randint(1, 33), rng.randint(1, 33)
+        img = (
+            rng.randint(0, 256, (h, w)).astype(np.uint8)
+            if rng.rand() < 0.5
+            else (rng.randint(0, 3, (h, w)) * 100).astype(np.uint8)
+        )
+        assert (decode_tga_gray(encode_tga_gray(img)) == img).all()
+
+
+def test_tga_decoder_raw_bottom_up_and_errors():
+    import numpy as np
+    import pytest
+
+    from koalas_spark.operators.multimodal import decode_tga_gray
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    hdr = bytes([0, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 0, 6, 0, 8, 0])
+    blob = hdr + img[::-1].tobytes()  # bottom-up raw type 3
+    assert (decode_tga_gray(blob) == img).all()
+    with pytest.raises(ValueError):
+        decode_tga_gray(b"xx")
+    with pytest.raises(NotImplementedError):
+        decode_tga_gray(bytes([0, 0, 2] + [0] * 15))  # truecolor
+    with pytest.raises(ValueError):
+        # RLE stream truncated mid-packet
+        decode_tga_gray(
+            bytes([0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 0, 6, 0, 8, 0x20])
+            + bytes([0x87])
+        )
+
+
+def test_tiff_malformed_raises_valueerror():
+    import pytest
+
+    from koalas_spark.operators.multimodal import (
+        decode_tiff_gray,
+        encode_tiff_gray,
+    )
+    import numpy as np
+
+    good = encode_tiff_gray(np.zeros((4, 4), np.uint8))
+    # truncate inside the IFD: struct.error path must surface as the
+    # documented ValueError (ADVICE r10)
+    with pytest.raises(ValueError):
+        decode_tiff_gray(good[:12])

@@ -338,6 +338,17 @@ EXPECTED = {
     "woe_iv_quantity_bins": {"GlobalWindow"},
     # lag-12 over the bounded month domain
     "yoy_growth_monthly": {"GlobalWindow"},
+    # ---- round-11 additions ----
+    # 1-row (n, S) stats frame cross-joined onto the bounded day table
+    "jackknife_variance_daily": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-token-total frame cross-joined onto the vocab model
+    "text_perplexity_unigram": {"BroadcastNestedLoopJoin"},
+    # real RLE TGA encode/decode runs in mapInPandas
+    "multimodal_tga_roundtrip": {"Python"},
+    # real WAV decode + integer-energy VAD runs in mapInPandas
+    "multimodal_audio_vad": {"Python"},
+    # real AVI walk + frame-diff SAD runs in mapInPandas
+    "multimodal_video_motion": {"Python"},
 }
 
 # streaming queries execute at construction; their returned frame is a
