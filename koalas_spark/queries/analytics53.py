@@ -127,97 +127,27 @@ def jaccard_link_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = e.select(
         F.col("u").alias("eu"), F.col("v").alias("ev")
     )
-    # ---- exactness-preserving openness PREFILTER (VERDICT r10 #3):
-    # the openness check must consult the FULL edge set, and shuffling
-    # the whole (superlinear) candidate set into that anti-join was
-    # the measured 6.3x/decade term. Route instead through a per-node
-    # 512-bit neighbor Bloom (2 xxhash64 probes) built from the full
-    # adjacency: a candidate whose v is NOT in u's filter is PROVABLY
-    # open and bypasses the anti-join entirely; only Bloom-positives
-    # (true edges + ~3% fp at mean degree) take the exact anti-join,
-    # so the RESULT — and the oracle — are bit-identical with or
-    # without the filter. xxhash64 (JVM, codegen) is safe here
-    # precisely because the Bloom never influences values, only
-    # routing; no cross-engine replay needed. The filter table is
-    # |V| x 8 longs — node-keyed, joined on the same key as the
-    # degree lookup.
-    full_adj = e.select("u", "v").unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    bloom = (
-        full_adj.select(
-            F.col("u").alias("bx"),
-            F.explode(
-                F.array(
-                    F.pmod(F.xxhash64(F.lit(1), F.col("v")), F.lit(512)),
-                    F.pmod(F.xxhash64(F.lit(2), F.col("v")), F.lit(512)),
-                )
-            ).alias("p"),
-        )
-        .groupBy("bx")
-        .agg(
-            *[
-                F.bit_or(
-                    F.when(
-                        (F.col("p") >= w * 64) & (F.col("p") < (w + 1) * 64),
-                        F.expr(
-                            "shiftleft(CAST(1 AS BIGINT),"
-                            f" CAST(p - {w * 64} AS INT))"
-                        ),
-                    ).otherwise(F.lit(0).cast("bigint"))
-                ).alias(f"b{w}")
-                for w in range(8)
-            ]
-        )
-    )
-    scored = (
+    open_pairs = (
         cand.join(du, "u")
         .join(dv, "v")
         .filter(
             F.col("dg_u") + F.col("dg_v") - 2 * F.col("n_common_s") > 0
         )
-        .join(bloom, cand["u"] == bloom["bx"], "left")
-        .withColumn(
-            "p1", F.pmod(F.xxhash64(F.lit(1), F.col("v")), F.lit(512))
+        .join(
+            closed,
+            (F.least(F.col("u"), F.col("v")) == F.col("eu"))
+            & (F.greatest(F.col("u"), F.col("v")) == F.col("ev")),
+            "left_anti",
         )
-        .withColumn(
-            "p2", F.pmod(F.xxhash64(F.lit(2), F.col("v")), F.lit(512))
+        .select(
+            "u",
+            "v",
+            "n_common_s",
+            F.expr(
+                "CAST((n_common_s * 2000000)"
+                " div (dg_u + dg_v - 2 * n_common_s) AS BIGINT)"
+            ).alias("jac_ppm_est"),
         )
-        .withColumn(
-            "might_closed",
-            # null bloom row (shouldn't happen — u is a full-adj node)
-            # conservatively routes to the exact check
-            F.when(
-                F.col("bx").isNull(), F.lit(True)
-            ).otherwise(
-                F.expr(
-                    "(shiftright(element_at(array(b0,b1,b2,b3,b4,b5,b6,b7),"
-                    " CAST(p1 div 64 AS INT) + 1),"
-                    " CAST(p1 % 64 AS INT)) & 1) = 1"
-                    " AND (shiftright(element_at(array(b0,b1,b2,b3,b4,b5,b6,b7),"
-                    " CAST(p2 div 64 AS INT) + 1),"
-                    " CAST(p2 % 64 AS INT)) & 1) = 1"
-                )
-            ),
-        )
-        .select("u", "v", "n_common_s", "dg_u", "dg_v", "might_closed")
-    )
-    sure_open = scored.filter(~F.col("might_closed")).drop("might_closed")
-    maybe = scored.filter(F.col("might_closed")).drop("might_closed")
-    verified_open = maybe.join(
-        closed,
-        (F.least(F.col("u"), F.col("v")) == F.col("eu"))
-        & (F.greatest(F.col("u"), F.col("v")) == F.col("ev")),
-        "left_anti",
-    )
-    open_pairs = sure_open.unionAll(verified_open).select(
-        "u",
-        "v",
-        "n_common_s",
-        F.expr(
-            "CAST((n_common_s * 2000000)"
-            " div (dg_u + dg_v - 2 * n_common_s) AS BIGINT)"
-        ).alias("jac_ppm_est"),
     )
     wk = Window.partitionBy("u").orderBy(
         F.col("jac_ppm_est").desc(), F.col("v").asc()

@@ -184,8 +184,88 @@ def compare(sf_dir: str, names: list[str] | None = None) -> int:
     return failures
 
 
+def shard_drive(sf_dir: str, n_shards: int, mem: str, cpus: int) -> int:
+    """ONE-COMMAND full-registry sweep via parallel subprocess shards
+    (VERDICT r10 #4 — the sf1 standing gate previously needed a
+    hand-rolled 4-terminal split; this folds it into the tool).
+
+    Splits sorted(all_queries()) round-robin across n_shards child
+    processes (each its own JVM: SPARK_GRAFT_CPUS=cpus,
+    SPARK_GRAFT_DRIVER_MEM=mem), streams their per-query verdict
+    lines to .tmp_sweep_shard{i}.log, and aggregates to one
+    PASS/FAIL summary. Round-robin keeps the heavy graph/wedge
+    queries spread across shards.
+
+    Usage: python tools/check_oracle.py <sf_dir> --shards=4
+           [--shard-mem=20g] [--shard-cpus=8]
+    """
+    import os
+    import re
+    import subprocess
+
+    names = sorted(all_queries())
+    shards = [names[i::n_shards] for i in range(n_shards)]
+    procs = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for i, chunk in enumerate(shards):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = mem
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        log = open(f"/root/repo/.tmp_sweep_shard{i}.log", "w")
+        procs.append(
+            (
+                i,
+                chunk,
+                subprocess.Popen(
+                    [sys.executable, os.path.join(here, "check_oracle.py"), sf_dir]
+                    + chunk,
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                    env=env,
+                ),
+                log,
+            )
+        )
+    total = ok = 0
+    bad: list[str] = []
+    for i, chunk, p, log in procs:
+        p.wait()
+        log.close()
+        text = open(f"/root/repo/.tmp_sweep_shard{i}.log").read()
+        seen = set()
+        for m in re.finditer(r"^\s*([a-z0-9_]+): (OK|[A-Z-]+MISMATCH|ERROR|rows-only)", text, re.M):
+            seen.add(m.group(1))
+            total += 1
+            if m.group(2) in ("OK", "rows-only"):
+                ok += 1
+            else:
+                bad.append(f"{m.group(1)} [{m.group(2)}]")
+        missing = set(chunk) - seen
+        for name in sorted(missing):
+            total += 1
+            bad.append(f"{name} [NO-VERDICT: shard {i} died before it ran]")
+        print(f"shard {i}: {len(chunk)} queries, rc={p.returncode}")
+    print(f"SWEEP {'PASS' if not bad else 'FAIL'}: {ok}/{total} queries match")
+    for b in bad:
+        print(f"  DIVERGENT: {b}")
+    return len(bad)
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    qnames = [a for a in args if "/" not in a] or None
-    sys.exit(1 if compare(sf_dir, qnames) else 0)
+    shard_n = 0
+    mem, cpus = "20g", 8
+    rest = []
+    for a in args:
+        if a.startswith("--shards="):
+            shard_n = int(a.split("=", 1)[1])
+        elif a.startswith("--shard-mem="):
+            mem = a.split("=", 1)[1]
+        elif a.startswith("--shard-cpus="):
+            cpus = int(a.split("=", 1)[1])
+        elif "/" not in a:
+            rest.append(a)
+    if shard_n:
+        sys.exit(1 if shard_drive(sf_dir, shard_n, mem, cpus) else 0)
+    sys.exit(1 if compare(sf_dir, rest or None) else 0)
