@@ -352,6 +352,10 @@ HEADLINE = [
     "multimodal_tga_roundtrip",
     "multimodal_audio_vad",
     "multimodal_video_motion",
+    "cramer_von_mises_quantity_years",
+    "rich_club_copurchase",
+    "conformal_interval_order_value",
+    "heaps_law_fit",
 ]
 
 

@@ -149,6 +149,7 @@ def _load() -> None:
         analytics64,
         analytics65,
         analytics66,
+        analytics67,
         corpus,
         graphq,
         layout,

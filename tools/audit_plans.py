@@ -349,6 +349,16 @@ EXPECTED = {
     "multimodal_audio_vad": {"Python"},
     # real AVI walk + frame-diff SAD runs in mapInPandas
     "multimodal_video_motion": {"Python"},
+    # prefix sums over the bounded 1..50 quantity-value domain
+    "cramer_von_mises_quantity_years": {"GlobalWindow"},
+    # 4-row threshold dim range-probed against two bounded histograms
+    "rich_club_copurchase": {"BroadcastNestedLoopJoin"},
+    # 1-row n_cal/q_hat/test frames crossed; prefix over the
+    # residual-cents DOMAIN histogram
+    "conformal_interval_order_value": {"BroadcastNestedLoopJoin", "GlobalWindow"},
+    # 14-row power-of-2 checkpoint dim range-probed against the
+    # first-doc and per-doc-count aggregates; 1-row max-doc frame
+    "heaps_law_fit": {"BroadcastNestedLoopJoin"},
 }
 
 # streaming queries execute at construction; their returned frame is a
