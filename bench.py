@@ -356,6 +356,10 @@ HEADLINE = [
     "rich_club_copurchase",
     "conformal_interval_order_value",
     "heaps_law_fit",
+    "hard_negative_mining_embeddings",
+    "pr_auc_priority_value",
+    "brier_decomposition_quality",
+    "holt_winters_dow_daily",
 ]
 
 

@@ -150,6 +150,7 @@ def _load() -> None:
         analytics65,
         analytics66,
         analytics67,
+        analytics68,
         corpus,
         graphq,
         layout,

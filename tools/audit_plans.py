@@ -359,6 +359,12 @@ EXPECTED = {
     # 14-row power-of-2 checkpoint dim range-probed against the
     # first-doc and per-doc-count aggregates; 1-row max-doc frame
     "heaps_law_fit": {"BroadcastNestedLoopJoin"},
+    # 5-probe frame broadcast onto the corpus without an equi key
+    "hard_negative_mining_embeddings": {"BroadcastNestedLoopJoin"},
+    # prefix sums over the bounded $100 score-bucket domain
+    "pr_auc_priority_value": {"GlobalWindow"},
+    # 1-row (n, ybar) frame crossed onto the 11-bin domain table
+    "brier_decomposition_quality": {"BroadcastNestedLoopJoin"},
 }
 
 # streaming queries execute at construction; their returned frame is a
