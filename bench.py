@@ -360,6 +360,11 @@ HEADLINE = [
     "pr_auc_priority_value",
     "brier_decomposition_quality",
     "holt_winters_dow_daily",
+    "binaryfile_ingest_stats",
+    "cronbach_alpha_dow",
+    "g_test_flag_status",
+    "littles_law_audit",
+    "weibull_survival_fit",
 ]
 
 

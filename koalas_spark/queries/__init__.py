@@ -151,6 +151,7 @@ def _load() -> None:
         analytics66,
         analytics67,
         analytics68,
+        analytics69,
         corpus,
         graphq,
         layout,

@@ -365,6 +365,14 @@ EXPECTED = {
     "pr_auc_priority_value": {"GlobalWindow"},
     # 1-row (n, ybar) frame crossed onto the 11-bin domain table
     "brier_decomposition_quality": {"BroadcastNestedLoopJoin"},
+    # 1-row span frame crossed onto the bounded week x item matrix
+    "cronbach_alpha_dow": {"BroadcastNestedLoopJoin"},
+    # 1-row N / row-count frames crossed onto the 6-cell domain
+    "g_test_flag_status": {"BroadcastNestedLoopJoin"},
+    # 1-row horizon frame crossed onto the day-domain backlog prefix
+    "littles_law_audit": {"BroadcastNestedLoopJoin", "GlobalWindow"},
+    # 1-row n frame crossed onto the bounded lag-domain suffix sums
+    "weibull_survival_fit": {"BroadcastNestedLoopJoin", "GlobalWindow"},
 }
 
 # streaming queries execute at construction; their returned frame is a
