@@ -365,6 +365,9 @@ HEADLINE = [
     "g_test_flag_status",
     "littles_law_audit",
     "weibull_survival_fit",
+    "price_elasticity_brands",
+    "null_skew_join_split",
+    "multimodal_audio_pitch",
 ]
 
 

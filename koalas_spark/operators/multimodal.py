@@ -2162,3 +2162,48 @@ def video_motion_profile(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             " sad_peak bigint"
         ),
     )
+
+
+def audio_pitch_probe(
+    df: DataFrame, id_col: str = "doc_id", lags: tuple = (25, 50, 100)
+) -> DataFrame:
+    """Autocorrelation pitch probe over REAL WAV blobs: decode (RIFF
+    walk), EXACT int64 autocorrelation R(l) = sum s[i]*s[i+l] at the
+    candidate lags, winner = max R with ties to the SMALLEST lag
+    (deterministic). Integer math end-to-end so the SQL oracle
+    replays every R(l) bit-for-bit."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f"r{l}": [] for l in lags}
+            ids, best = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf["blob"]):
+                ids.append(doc_id)
+                try:
+                    samples, _rate = decode_wav(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    for l in lags:
+                        out[f"r{l}"].append(None)
+                    best.append(None)
+                    continue
+                x = samples.astype(np.int64)
+                rs = []
+                for l in lags:
+                    r = int((x[:-l] * x[l:]).sum()) if len(x) > l else 0
+                    out[f"r{l}"].append(r)
+                    rs.append(r)
+                # argmax, ties to the smallest lag: first max wins
+                best.append(int(lags[int(np.argmax(rs))]))
+            cols = {"doc_id": ids}
+            cols.update(
+                {k: pd.array(v, dtype="Int64") for k, v in out.items()}
+            )
+            cols["pitch_lag"] = pd.array(best, dtype="Int64")
+            yield pd.DataFrame(cols)
+
+    schema = (
+        "doc_id bigint, "
+        + ", ".join(f"r{l} bigint" for l in lags)
+        + ", pitch_lag bigint"
+    )
+    return df.select(id_col, "blob").mapInPandas(op, schema=schema)

@@ -152,6 +152,7 @@ def _load() -> None:
         analytics67,
         analytics68,
         analytics69,
+        analytics70,
         corpus,
         graphq,
         layout,

@@ -373,6 +373,8 @@ EXPECTED = {
     "littles_law_audit": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 1-row n frame crossed onto the bounded lag-domain suffix sums
     "weibull_survival_fit": {"BroadcastNestedLoopJoin", "GlobalWindow"},
+    # real WAV decode + integer autocorrelation runs in mapInPandas
+    "multimodal_audio_pitch": {"Python"},
 }
 
 # streaming queries execute at construction; their returned frame is a
