@@ -210,23 +210,23 @@ WITH l AS (
            AS is_train
   FROM lineitem),
 f AS (
-  SELECT bin, CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS p_ppm
+  SELECT bin, CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS fc_ppm
   FROM l WHERE is_train GROUP BY bin),
 t AS (
-  SELECT l.bin, l.y, f.p_ppm FROM l JOIN f ON f.bin = l.bin
+  SELECT l.bin, l.y, f.fc_ppm FROM l JOIN f ON f.bin = l.bin
   WHERE NOT l.is_train),
 g AS (
-  SELECT bin, p_ppm, CAST(COUNT(*) AS BIGINT) AS nb,
+  SELECT bin, fc_ppm, CAST(COUNT(*) AS BIGINT) AS nb,
          CAST(SUM(y) AS BIGINT) AS yb
-  FROM t GROUP BY bin, p_ppm),
+  FROM t GROUP BY bin, fc_ppm),
 m AS (
   SELECT CAST(SUM(nb) AS BIGINT) AS n, CAST(SUM(yb) AS BIGINT) AS ybar_num
   FROM g),
 terms AS (
   SELECT m.n, m.ybar_num,
          CAST(FLOOR(CAST(CAST(
-             (CAST(g.p_ppm AS DECIMAL(38,0)) * g.nb - g.yb * 1000000)
-           * (CAST(g.p_ppm AS DECIMAL(38,0)) * g.nb - g.yb * 1000000)
+             (CAST(g.fc_ppm AS DECIMAL(38,0)) * g.nb - g.yb * 1000000)
+           * (CAST(g.fc_ppm AS DECIMAL(38,0)) * g.nb - g.yb * 1000000)
            AS VARCHAR) AS DOUBLE)
            / (CAST(g.nb AS DOUBLE) * m.n * 1000.0)) AS BIGINT) AS rel_nano,
          CAST(FLOOR(CAST(CAST(
@@ -234,8 +234,8 @@ terms AS (
            * (CAST(g.yb AS DECIMAL(38,0)) * m.n - CAST(m.ybar_num AS DECIMAL(38,0)) * g.nb)
            * 1000000000 AS VARCHAR) AS DOUBLE)
            / (CAST(g.nb AS DOUBLE) * m.n * m.n * m.n)) AS BIGINT) AS res_nano,
-         CAST(g.nb * CAST(g.p_ppm AS DECIMAL(38,0)) * g.p_ppm
-            - 2 * g.yb * CAST(g.p_ppm AS DECIMAL(38,0)) * 1000000
+         CAST(g.nb * CAST(g.fc_ppm AS DECIMAL(38,0)) * g.fc_ppm
+            - 2 * g.yb * CAST(g.fc_ppm AS DECIMAL(38,0)) * 1000000
             + g.yb * CAST(1000000 AS DECIMAL(38,0)) * 1000000
            AS DECIMAL(38,0)) AS brier_num
   FROM g, m),
@@ -284,11 +284,11 @@ def brier_decomposition_quality(
         .agg(
             F.expr(
                 "CAST(SUM(y) * 1000000 div COUNT(*) AS BIGINT)"
-            ).alias("p_ppm")
+            ).alias("fc_ppm")
         )
     )
     t = li.filter(~F.col("is_train")).join(F.broadcast(f), "bin")
-    g = t.groupBy("bin", "p_ppm").agg(
+    g = t.groupBy("bin", "fc_ppm").agg(
         F.count(F.lit(1)).cast("bigint").alias("nb"),
         F.sum("y").cast("bigint").alias("yb"),
     )
@@ -302,8 +302,8 @@ def brier_decomposition_quality(
         "ybar_num",
         F.floor(
             F.expr(
-                "CAST(CAST((CAST(p_ppm AS DECIMAL(38,0)) * nb - yb * 1000000)"
-                " * (CAST(p_ppm AS DECIMAL(38,0)) * nb - yb * 1000000)"
+                "CAST(CAST((CAST(fc_ppm AS DECIMAL(38,0)) * nb - yb * 1000000)"
+                " * (CAST(fc_ppm AS DECIMAL(38,0)) * nb - yb * 1000000)"
                 " AS STRING) AS DOUBLE)"
             )
             / (F.col("nb").cast("double") * F.col("n") * F.lit(1000.0))
@@ -328,8 +328,8 @@ def brier_decomposition_quality(
         .cast("bigint")
         .alias("res_nano"),
         F.expr(
-            "CAST(nb * CAST(p_ppm AS DECIMAL(38,0)) * p_ppm"
-            " - 2 * yb * CAST(p_ppm AS DECIMAL(38,0)) * 1000000"
+            "CAST(nb * CAST(fc_ppm AS DECIMAL(38,0)) * fc_ppm"
+            " - 2 * yb * CAST(fc_ppm AS DECIMAL(38,0)) * 1000000"
             " + yb * CAST(1000000 AS DECIMAL(38,0)) * 1000000"
             " AS DECIMAL(38,0))"
         ).alias("brier_num"),
