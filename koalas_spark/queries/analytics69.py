@@ -335,8 +335,11 @@ SELECT m.n AS n_orders,
        CAST(m.sres * 1000 // (m.d1 - m.d0 + 1) AS BIGINT)
          AS l_identity_milli,
        CAST(intr.sint * 1000 // intr.nint AS BIGINT) AS l_interior_milli,
-       CAST(intr.sint * (m.d1 - m.d0 + 1) * 1000000
-            // (intr.nint * m.sres) AS BIGINT) AS steady_state_ppm
+       CAST(FLOOR(CAST(CAST(CAST(intr.sint AS DECIMAL(38,0))
+                            * (m.d1 - m.d0 + 1) * 1000000 AS VARCHAR)
+                       AS DOUBLE)
+             / (CAST(intr.nint AS DOUBLE) * m.sres)) AS BIGINT)
+         AS steady_state_ppm
 FROM m, intr
 """,
 )
@@ -411,10 +414,18 @@ def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(sint * 1000 div nint AS BIGINT)"
         ).alias("l_interior_milli"),
-        F.expr(
-            "CAST(sint * (d1 - d0 + 1) * 1000000"
-            " div (nint * sres) AS BIGINT)"
-        ).alias("steady_state_ppm"),
+        # sint*(horizon)*1e6 wraps int64 at sf10 (sint ~ 7e9 there) —
+        # DECIMAL(38) cross-product + VARCHAR-hop FLOOR-double division
+        # (the headroom discipline; caught by the r11 sf10 grid)
+        F.floor(
+            F.expr(
+                "CAST(CAST(CAST(sint AS DECIMAL(38,0))"
+                " * (d1 - d0 + 1) * 1000000 AS STRING) AS DOUBLE)"
+            )
+            / (F.col("nint").cast("double") * F.col("sres"))
+        )
+        .cast("bigint")
+        .alias("steady_state_ppm"),
     )
 
 
