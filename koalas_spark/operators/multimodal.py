@@ -6,16 +6,18 @@ mapInPandas, partition sizing — is real and tested, and all three
 media families parse REAL container bytes with pure-numpy codecs:
 images via ``decode_image`` (netpbm P5/P6, uncompressed BMP 8/24-bit),
 audio via ``decode_wav`` (RIFF chunk walk, PCM16), video via
-``decode_avi`` (nested LIST walk, uncompressed DIB frames). Five REAL
+``decode_avi`` (nested LIST walk, uncompressed DIB frames). Six REAL
 compressed/structured container codecs are implemented from their
 public specs: PNG (stdlib-zlib DEFLATE, CRC chunks, all 5 unfilters —
 encode_png / decode_png), GIF87a (variable-width LSB-first LZW —
 encode_gif / decode_gif), baseline-sequential JPEG (ITU-T T.81 DCT +
 Annex-K Huffman — encode_jpeg / decode_jpeg), TIFF 6.0 baseline
 grayscale (IFD walk, both byte orders — encode_tiff_gray /
-decode_tiff_gray), and QOI grayscale (encode_qoi_gray /
-decode_qoi_gray). The codecs NOT implemented (MP3/H.264 and the
-exotic variants each decoder names — progressive JPEG, compressed
+decode_tiff_gray), QOI grayscale (encode_qoi_gray / decode_qoi_gray),
+and TGA grayscale (types 3 raw / 11 RLE, both vertical orientations —
+encode_tga_gray / decode_tga_gray). The codecs NOT implemented
+(MP3/H.264 and the exotic variants each decoder names — progressive
+JPEG, compressed
 TIFF, …) raise ``NotImplementedError`` because their libraries are
 not in this container — plugging PIL/ffmpeg into the decode functions
 is the only change a real deployment makes; every Spark-side shape
@@ -2172,6 +2174,11 @@ def audio_pitch_probe(
     candidate lags, winner = max R with ties to the SMALLEST lag
     (deterministic). Integer math end-to-end so the SQL oracle
     replays every R(l) bit-for-bit."""
+    # The tie rule holds because np.argmax returns the FIRST max —
+    # which is the smallest lag only if lags are ascending and
+    # duplicate-free, so normalize at entry (duplicates would also
+    # collide in the r{l} column dict).
+    lags = tuple(sorted(set(int(l) for l in lags)))
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

