@@ -134,6 +134,10 @@ HEADLINE = [
     "event_cusum_deviation",
     "source_contamination_matrix",
     "rrf_fusion_retrieval",
+    "maxsim_late_interaction",
+    "mixture_weight_solver",
+    "ndcg_at_10_eval",
+    "query_likelihood_dirichlet",
     "funnel_within_session",
     "snapshot_diff",
     "skew_audit_orders",
@@ -462,7 +466,10 @@ def emit(result: dict) -> str:
         json.dump(
             {
                 "note": "qsec_cs[i] in the bench stdout line is the"
-                " centisecond timing of queries[i]",
+                " centisecond timing of queries[i]; if the line"
+                " instead carries qsec_ds (registry too big for"
+                " centiseconds), qsec_ds[i] is the DECISECOND timing"
+                " of queries[i]",
                 "queries": names,
             },
             f,
@@ -470,7 +477,10 @@ def emit(result: dict) -> str:
         )
     line = dict(result)
     line["metric"] = "headline wall sec (min of 3-5 alternating samples)"
-    line["queries_omitted"] = 0
+    # placeholder at max width for the sizing probes below; the real
+    # count (relative to the spec-shape `queries` object, ADVICE r11)
+    # is written after the greedy fill
+    line["queries_omitted"] = len(names)
     line["qsec_cs"] = [
         int(round(result["queries"][n] * 100)) for n in names
     ]
@@ -498,7 +508,12 @@ def emit(result: dict) -> str:
         line["queries"][k] = v
         line["queries"] = dict(sorted(line["queries"].items()))
         s = json.dumps(line, separators=(",", ":"))
-    return s
+    # queries_omitted counts entries MISSING from the spec-shape
+    # `queries` object (ADVICE r11: it used to read 0 because the
+    # full set rides in qsec_cs/qsec_ds, but consumers of `queries`
+    # alone would then mistake the tail for the whole map)
+    line["queries_omitted"] = len(names) - len(line["queries"])
+    return json.dumps(line, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -1022,3 +1022,175 @@ def pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
         )
     )
+
+
+# --------------------------------------------------------------------
+# 466. mixture-weight SOLVER — closes the curation loop (VERDICT r11
+# item 8): #150 replicates docs by per-source epoch weights, but
+# where do the weights come from? This op COMPUTES them from signals
+# the repo already emits, re-derived here in ONE corpus pass:
+#   quality  — pass-rate of the #129 funnel's token>=20 gate (ppm)
+#   uniqueness — 1e6 minus #415's exact-dup rate (ppm; dup groups
+#     counted per (source, md5) via COUNT(DISTINCT h), exactly #415)
+#   diversity — #441's inverse-Simpson effective-language count
+#     (Hill q=2, milli; DECIMAL(38) squares + FLOOR-double division,
+#     the same expression shape as #441 so the two agree bit-for-bit)
+# Objective (exact integers end-to-end): score = (quality *
+# uniqueness div 1e6) * diversity, floored at 1 so no source is
+# silenced; a fixed budget of B = 10 * n_sources TENTHS (mean 1.0
+# epoch) is apportioned proportionally by the largest-remainder
+# (Hamilton) method — base = B*score div total, the B - sum(base)
+# leftover tenths go to the largest remainders (ties to the smaller
+# source id) — so SUM(w10) == B exactly, auditable, and w10 feeds
+# #150's integer-tenths contract directly.
+# Plan: one (source, lang, md5) map-side-combined groupBy over the
+# corpus, two bounded rollups (sourcexlang, source) joined on source,
+# then partition-less windows over the <=|sources| frame (bounded
+# domain — the #441/#129 rollup collapse runs first). Overflow:
+# score <= 1e6 * (n_langs*1000) ~ 5e9; B*score <= 200 * 5e9 = 1e12.
+@query(
+    "mixture_weight_solver",
+    oracle="""
+WITH g AS (
+  SELECT source, lang, md5(text) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(LEN(string_split_regex(TRIM(text), '\\s+'))) AS tok
+  FROM documents GROUP BY 1, 2, 3),
+sl AS (
+  SELECT source, lang, CAST(SUM(c) AS BIGINT) AS nl
+  FROM g GROUP BY 1, 2),
+div2 AS (
+  SELECT source,
+         CAST(SUM(nl) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(nl AS DECIMAL(38,0)) * nl) AS DECIMAL(38,0))
+           AS sum2
+  FROM sl GROUP BY source),
+base AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN tok >= 20 THEN c ELSE 0 END) AS BIGINT)
+           AS n_pass,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hash
+  FROM g GROUP BY source),
+sig AS (
+  SELECT b.source, b.n_docs,
+         CAST(b.n_pass * 1000000 // b.n_docs AS BIGINT) AS qual_ppm,
+         CAST(1000000 - ((b.n_docs - b.n_hash) * 1000000 // b.n_docs)
+           AS BIGINT) AS uniq_ppm,
+         CAST(FLOOR(CAST(d.n_docs AS DOUBLE) * d.n_docs * 1000
+               / CAST(CAST(d.sum2 AS VARCHAR) AS DOUBLE)) AS BIGINT)
+           AS eff_langs_milli
+  FROM base b JOIN div2 d ON d.source = b.source),
+sc AS (
+  SELECT *, GREATEST((qual_ppm * uniq_ppm // 1000000)
+                     * eff_langs_milli, 1) AS score
+  FROM sig),
+ap AS (
+  SELECT *,
+         10 * COUNT(*) OVER () AS b_tenths,
+         SUM(score) OVER () AS total
+  FROM sc),
+ap2 AS (
+  SELECT *,
+         CAST(b_tenths * score // total AS BIGINT) AS base_w,
+         CAST(b_tenths * score % total AS BIGINT) AS rem
+  FROM ap),
+ap3 AS (
+  SELECT *,
+         CAST(b_tenths - SUM(base_w) OVER () AS BIGINT) AS extra,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM ap2)
+SELECT source, n_docs, qual_ppm, uniq_ppm, eff_langs_milli,
+       CAST(score AS BIGINT) AS score,
+       CAST(base_w + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+         AS BIGINT) AS w10
+FROM ap3 ORDER BY source
+""",
+)
+def mixture_weight_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from koalas_spark.functions.textfn import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("source", "lang", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.min(token_count(F.col("text"))).alias("tok"),
+    )
+    sl = g.groupBy("source", "lang").agg(
+        F.sum("c").cast("bigint").alias("nl")
+    )
+    div2 = sl.groupBy("source").agg(
+        F.sum("nl").cast("bigint").alias("d_docs"),
+        F.sum(F.col("nl").cast("decimal(38,0)") * F.col("nl"))
+        .cast("decimal(38,0)")
+        .alias("sum2"),
+    )
+    base = g.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("tok") >= 20, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.countDistinct("h").cast("bigint").alias("n_hash"),
+    )
+    sig = base.join(div2, "source").select(
+        "source",
+        "n_docs",
+        F.expr("CAST(n_pass * 1000000 div n_docs AS BIGINT)").alias(
+            "qual_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 - ((n_docs - n_hash) * 1000000 div n_docs)"
+            " AS BIGINT)"
+        ).alias("uniq_ppm"),
+        F.floor(
+            F.col("d_docs").cast("double") * F.col("d_docs") * 1000
+            / F.col("sum2").cast("string").cast("double")
+        )
+        .cast("bigint")
+        .alias("eff_langs_milli"),
+    )
+    sc = sig.withColumn(
+        "score",
+        F.greatest(
+            F.expr(
+                "(qual_ppm * uniq_ppm div 1000000) * eff_langs_milli"
+            ),
+            F.lit(1).cast("bigint"),
+        ),
+    )
+    # bounded-domain windows: the frame is one row per source (~20),
+    # collapsed by the aggregates above — the #441 rollup argument
+    wall = Window.partitionBy()
+    ap = sc.withColumn(
+        "b_tenths", F.lit(10) * F.count(F.lit(1)).over(wall)
+    ).withColumn("total", F.sum("score").over(wall))
+    ap2 = ap.withColumn(
+        "base_w",
+        F.expr("CAST(b_tenths * score div total AS BIGINT)"),
+    ).withColumn(
+        "rem", F.expr("CAST(b_tenths * score % total AS BIGINT)")
+    )
+    ap3 = ap2.withColumn(
+        "extra",
+        (F.col("b_tenths") - F.sum("base_w").over(wall)).cast("bigint"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ),
+    )
+    return ap3.select(
+        "source",
+        "n_docs",
+        "qual_ppm",
+        "uniq_ppm",
+        "eff_langs_milli",
+        F.col("score").cast("bigint").alias("score"),
+        (
+            F.col("base_w")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("w10"),
+    ).orderBy("source")

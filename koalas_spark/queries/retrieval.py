@@ -99,6 +99,22 @@ WHERE rk <= 5
 """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#148's integer BM25 scoring, pre-window: (query_id, doc_id,
+    score) for every doc matching >= 1 query term. Shared by
+    bm25_topk and the retrieval-eval ops (#467-469) so all of them
+    rank the exact same scores."""
     d = _t(spark, sf_dir, "documents")
     q = spark.createDataFrame(_QUERIES, "query_id int, term string")
     qt = q.select("term").distinct()
@@ -118,7 +134,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfnorm = F.expr(
         "(22 * tf * t * 1000) div (10 * tf * t + 3 * t + 9 * dl * n)"
     )
-    scored = (
+    return (
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
@@ -126,13 +142,415 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum(idf_s * tfnorm).alias("score"))
     )
+
+
+def _relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded pseudo-relevance labels for the benchmark queries:
+    rel(query, doc) = number of the query's DISTINCT terms present in
+    the doc (1..3 — docs matching no term are unlabeled). Purely
+    term-presence-derived, so both engines agree exactly; this is the
+    judgment set the eval ops (#467-469) grade rankings against."""
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_QUERIES, "query_id int, term string")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        tok.join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", "term")
+        .distinct()
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+
+
+# integer nDCG discounts: disc(i) = floor(1e9 / log2(i + 1)) for rank
+# i = 1..10, precomputed as LITERALS in both engines (log2 is libm and
+# not correctly rounded; ten constants beat a cross-engine ulp hazard)
+_NDCG_DISC = [
+    (1, 1000000000),
+    (2, 630929753),
+    (3, 500000000),
+    (4, 430676558),
+    (5, 386852807),
+    (6, 356207187),
+    (7, 333333333),
+    (8, 315464876),
+    (9, 301029995),
+    (10, 289064826),
+]
+_DISC_VALUES = ", ".join(f"({i}, {v})" for i, v in _NDCG_DISC)
+
+# the #148 BM25 scoring + graded-relevance CTE prefix shared by the
+# three eval oracles (identical text => identical plans in DuckDB)
+_EVAL_PREFIX = f"""
+WITH q(query_id, term) AS (VALUES {_Q_VALUES}),
+tok AS (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS term
+        FROM documents),
+qt AS (SELECT DISTINCT term FROM q),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf
+       FROM tok JOIN qt USING (term) GROUP BY term, doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS dl
+       FROM documents),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM(((2 * (st.n - dfq.df) + 1) * 1000 // (2 * dfq.df + 1))
+             * ((22 * tf.tf * st.t * 1000)
+                // (10 * tf.tf * st.t + 3 * st.t + 9 * dl.dl * st.n)))
+           AS score
+  FROM tf JOIN q USING (term)
+          JOIN dfq USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN st
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM scored),
+rel AS (
+  SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS rel FROM (
+    SELECT DISTINCT q.query_id, tok.doc_id, q.term
+    FROM tok JOIN q USING (term)) t
+  GROUP BY query_id, doc_id)
+"""
+
+
+# --------------------------------------------------------------------
+# 467. nDCG@10 ranking-quality evaluation — the metric every
+# retrieval deployment reports, over #148's BM25 ranking graded
+# against the term-presence relevance labels (rel = distinct query
+# terms present, 1..3). DCG = SUM rel_i * disc(i) over the top-10;
+# the ideal DCG re-sorts the FULL labeled set by rel (ties by doc_id
+# — swap-free for equal rel, so the tie pin is cosmetic); the rank
+# discounts 1/log2(i+1) are ten precomputed integer LITERALS (libm
+# log2 is not correctly rounded cross-engine). ndcg_ppm = dcg * 1e6
+# div idcg — integers end-to-end. Plan: the #148 scoring pipeline
+# (one (term,doc) shuffle) + a partitioned top-10 window + one rel
+# aggregate; the final 3-row eval is a bounded rollup.
+@query(
+    "ndcg_at_10_eval",
+    oracle=_EVAL_PREFIX
+    + f""",
+disc(rk, d) AS (VALUES {_DISC_VALUES}),
+dcg AS (
+  SELECT r.query_id,
+         CAST(SUM(rel.rel * disc.d) AS BIGINT) AS dcg
+  FROM ranked r
+  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  JOIN disc ON disc.rk = r.rk
+  WHERE r.rk <= 10
+  GROUP BY r.query_id),
+ideal AS (
+  SELECT query_id, doc_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id ASC) AS irk
+  FROM rel),
+idcg AS (
+  SELECT i.query_id, CAST(SUM(i.rel * disc.d) AS BIGINT) AS idcg
+  FROM ideal i JOIN disc ON disc.rk = i.irk
+  WHERE i.irk <= 10
+  GROUP BY i.query_id)
+SELECT dcg.query_id, dcg.dcg, idcg.idcg,
+       CAST(dcg.dcg * 1000000 // idcg.idcg AS BIGINT) AS ndcg_ppm
+FROM dcg JOIN idcg ON idcg.query_id = dcg.query_id
+ORDER BY dcg.query_id
+""",
+)
+def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    rel = _relevance(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds both the DCG join and the ideal ranking
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    return (
+    ranked = (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "doc_id", "rk")
+    )
+    disc = spark.createDataFrame(_NDCG_DISC, "rk int, d bigint")
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .join(F.broadcast(disc), "rk")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.col("d")).cast("bigint").alias("dcg"))
+    )
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        rel.withColumn("irk", F.row_number().over(wi))
+        .filter(F.col("irk") <= 10)
+        .withColumnRenamed("irk", "rk")
+    )
+    idcg = (
+        ideal.join(F.broadcast(disc), "rk")
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.col("d")).cast("bigint").alias("idcg"))
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            "dcg",
+            "idcg",
+            F.expr("CAST(dcg * 1000000 div idcg AS BIGINT)").alias(
+                "ndcg_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------
+# 468. MRR on the full-match target — reciprocal rank of the FIRST
+# doc containing ALL of a query's terms in #148's BM25 ranking (the
+# known-item-search eval: "how deep does the user scroll before the
+# complete answer"). first_rank = MIN rank among rel == n_terms docs
+# over the UNBOUNDED ranking; rr_ppm = 1e6 div first_rank, 0 when no
+# doc matches all terms (LEFT join keeps the query row). Same scoring
+# pipeline as #467; the min-rank collapse is a bounded aggregate.
+@query(
+    "mrr_full_match",
+    oracle=_EVAL_PREFIX
+    + """,
+nt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+       FROM q GROUP BY query_id),
+hit AS (
+  SELECT r.query_id, CAST(MIN(r.rk) AS BIGINT) AS first_rank
+  FROM ranked r
+  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  JOIN nt ON nt.query_id = r.query_id
+  WHERE rel.rel = nt.n_terms
+  GROUP BY r.query_id)
+SELECT nt.query_id, nt.n_terms, hit.first_rank,
+       CAST(COALESCE(1000000 // hit.first_rank, 0) AS BIGINT) AS rr_ppm
+FROM nt LEFT JOIN hit ON hit.query_id = nt.query_id
+ORDER BY nt.query_id
+""",
+)
+def mrr_full_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    rel = _relevance(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).select(
+        "query_id", "doc_id", "rk"
+    )
+    q = spark.createDataFrame(_QUERIES, "query_id int, term string")
+    nt = q.groupBy("query_id").agg(
+        F.countDistinct("term").cast("bigint").alias("n_terms")
+    )
+    hit = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .join(F.broadcast(nt), "query_id")
+        .filter(F.col("rel") == F.col("n_terms"))
+        .groupBy("query_id")
+        .agg(F.min("rk").cast("bigint").alias("first_rank"))
+    )
+    return (
+        nt.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_terms",
+            "first_rank",
+            F.coalesce(
+                F.expr("CAST(1000000 div first_rank AS BIGINT)"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------
+# 469. precision / recall at k — the cutoff-quality table (k = 5 and
+# 10) over #148's ranking with binary relevance rel >= 1: p@k =
+# hits-in-top-k / k, r@k = hits-in-top-k / total-relevant, both in
+# exact ppm. Every doc in the BM25 ranking matches >= 1 term, so p@k
+# here measures ranking DEPTH vs the labeled pool, and r@k the pool
+# coverage — the sanity pair read next to #467's graded nDCG.
+@query(
+    "precision_recall_at_k",
+    oracle=_EVAL_PREFIX
+    + """,
+ks(k) AS (VALUES (5), (10)),
+tot AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+        FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, ks.k, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ranked r
+  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  CROSS JOIN ks
+  WHERE r.rk <= ks.k
+  GROUP BY r.query_id, ks.k)
+SELECT h.query_id, CAST(h.k AS INT) AS k, h.n_hit, t.n_rel,
+       CAST(h.n_hit * 1000000 // h.k AS BIGINT) AS p_at_k_ppm,
+       CAST(h.n_hit * 1000000 // t.n_rel AS BIGINT) AS r_at_k_ppm
+FROM hits h JOIN tot t ON t.query_id = h.query_id
+ORDER BY h.query_id, k
+""",
+)
+def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    rel = _relevance(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).select(
+        "query_id", "doc_id", "rk"
+    )
+    ks = spark.createDataFrame([(5,), (10,)], "k int")
+    tot = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    hits = (
+        ranked.join(rel, ["query_id", "doc_id"])
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        hits.join(tot, "query_id")
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            "n_rel",
+            F.expr("CAST(n_hit * 1000000 div k AS BIGINT)").alias(
+                "p_at_k_ppm"
+            ),
+            F.expr("CAST(n_hit * 1000000 div n_rel AS BIGINT)").alias(
+                "r_at_k_ppm"
+            ),
+        )
+        .orderBy("query_id", "k")
+    )
+
+
+# --------------------------------------------------------------------
+# 470. Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty) —
+# the LM-based retrieval model next to #148's BM25: score(q, d) =
+# SUM_t ln p(t|d) with p(t|d) = (tf + mu*cf_t/C) / (dl + mu), mu =
+# 2000. Computed in the SPARSE decomposition (the textbook trick that
+# makes QL scale like BM25 — only matching terms shuffle):
+#   score = SUM_{t in q, tf>0} ln(1 + tf*C/(mu*cf_t))
+#           + |q| * ln(mu/(dl + mu))
+# Each ln argument is a ratio of exact int64 products ((mu*cf + tf*C)
+# / (mu*cf); (dl+mu)/mu), nano-quantized per term/doc (#221
+# discipline) BEFORE the sum, so the score is an order-independent
+# exact integer. Candidates are docs matching >= 1 term (standard QL
+# deployments rank candidates, not the corpus). Headroom: tf*C and
+# mu*cf stay under 2^63 to C ~ 4e15 corpus tokens.
+@query(
+    "query_likelihood_dirichlet",
+    oracle=f"""
+WITH q(query_id, term) AS (VALUES {_Q_VALUES}),
+tok AS (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS term
+        FROM documents),
+qt AS (SELECT DISTINCT term FROM q),
+tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok JOIN qt USING (term) GROUP BY term, doc_id),
+cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+dl AS (SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS dl
+       FROM documents),
+ct AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+tnano AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(FLOOR(LN(CAST(2000 * cf.cf + tf.tf * ct.c AS DOUBLE)
+                       / CAST(2000 * cf.cf AS DOUBLE))
+                    * 1000000000 + 0.5) AS BIGINT) AS nano
+  FROM tf JOIN cf USING (term) CROSS JOIN ct),
+lnano AS (
+  SELECT doc_id,
+         CAST(FLOOR(LN(CAST(dl + 2000 AS DOUBLE) / 2000.0)
+                    * 1000000000 + 0.5) AS BIGINT) AS lnn
+  FROM dl),
+sc AS (
+  SELECT q.query_id, tnano.doc_id,
+         CAST(SUM(tnano.nano) AS BIGINT)
+           - 3 * MAX(lnano.lnn) AS ql_nano
+  FROM tnano JOIN q USING (term)
+             JOIN lnano ON lnano.doc_id = tnano.doc_id
+  GROUP BY q.query_id, tnano.doc_id)
+SELECT query_id, doc_id, ql_nano, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ql_nano DESC, doc_id ASC) AS rk
+  FROM sc) t
+WHERE rk <= 5
+""",
+)
+def query_likelihood_dirichlet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_QUERIES, "query_id int, term string")
+    qt = q.select("term").distinct()
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.join(F.broadcast(qt), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds both cf and the score join
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cf"))
+    dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    ct = dl.agg(F.sum("dl").cast("bigint").alias("c"))
+    tnano = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "term",
+            "doc_id",
+            F.floor(
+                F.log(
+                    (2000 * F.col("cf") + F.col("tf") * F.col("c")).cast(
+                        "double"
+                    )
+                    / (2000 * F.col("cf")).cast("double")
+                )
+                * 1000000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("nano"),
+        )
+    )
+    lnano = dl.select(
+        "doc_id",
+        F.floor(
+            F.log((F.col("dl") + 2000).cast("double") / F.lit(2000.0))
+            * 1000000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lnn"),
+    )
+    sc = (
+        tnano.join(F.broadcast(q), "term")
+        .join(lnano, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            (
+                F.sum("nano").cast("bigint")
+                - F.lit(3) * F.max("lnn")
+            )
+            .cast("bigint")
+            .alias("ql_nano")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ql_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "doc_id", "score", "rk")
+        .select("query_id", "doc_id", "ql_nano", "rk")
     )
 
 
@@ -434,4 +852,116 @@ def bpe_learn_merges(
 
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, freq bigint"
+    )
+
+
+# --------------------------------------------------------------------
+# 465. MaxSim late-interaction retrieval (ColBERT-style) — the step
+# between #148's BM25 term matching and #42's single-vector cosine
+# that production retrieval pipelines deploy: every token (query AND
+# document) gets its own embedding, and score(q, d) = SUM over query
+# tokens t of MAX over document tokens u of sim(t, u). Unlike BM25,
+# every document token contributes to every query term's max — soft
+# matching, no term-overlap requirement.
+#
+# Token embedding: ONE md5 per distinct token string, sliced into 8
+# uint16 components (hex digits 4j+1..4j+4 parsed base-16) — the
+# portable_hash60 convention widened to a vector; engine-portable by
+# the same argument (md5 hex is identical everywhere). sim(t, u) is
+# the raw integer dot product — un-normalized, a monotone proxy, the
+# same unlogged-rational discipline as #148's idf (bit-exact beats
+# calibrated here). Overflow: 8 * 65535^2 < 2^35 per dot, * 3 terms
+# < 2^37 per score — int64 headroom at any corpus size.
+#
+# Plan shape for a 100 TB corpus (VERDICT r11 item 7's brief):
+#   1. the 9-row query-token frame BROADCASTS onto the exploded token
+#      stream (BroadcastNestedLoopJoin over a 9-row literal frame —
+#      allowlisted, bounded by construction); the corpus is never
+#      re-shuffled against itself;
+#   2. ONE shuffle on (query_id, term, doc_id) computes the per-term
+#      max with map-side partial MAX (each task emits <= 9 rows per
+#      doc regardless of document length);
+#   3. the per-(query, doc) sum over <= 3 terms is a second tiny
+#      keyed aggregate on the already-collapsed frame;
+#   4. top-5 per query is a PARTITIONED rank window (query_id
+#      partitions — WindowGroupLimit prunes to 5 per partition before
+#      the final sort; no global single-task funnel).
+@query(
+    "maxsim_late_interaction",
+    oracle=f"""
+WITH q(query_id, term) AS (VALUES {_Q_VALUES}),
+qv AS (SELECT query_id, term,
+         CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) AS q0,
+         CAST('0x' || substr(md5(term), 5, 4) AS BIGINT) AS q1,
+         CAST('0x' || substr(md5(term), 9, 4) AS BIGINT) AS q2,
+         CAST('0x' || substr(md5(term), 13, 4) AS BIGINT) AS q3,
+         CAST('0x' || substr(md5(term), 17, 4) AS BIGINT) AS q4,
+         CAST('0x' || substr(md5(term), 21, 4) AS BIGINT) AS q5,
+         CAST('0x' || substr(md5(term), 25, 4) AS BIGINT) AS q6,
+         CAST('0x' || substr(md5(term), 29, 4) AS BIGINT) AS q7
+       FROM q),
+tok AS (SELECT doc_id,
+               unnest(string_split_regex(TRIM(text), '\\s+')) AS u
+        FROM documents),
+tv AS (SELECT doc_id,
+         CAST('0x' || substr(md5(u), 1, 4) AS BIGINT) AS d0,
+         CAST('0x' || substr(md5(u), 5, 4) AS BIGINT) AS d1,
+         CAST('0x' || substr(md5(u), 9, 4) AS BIGINT) AS d2,
+         CAST('0x' || substr(md5(u), 13, 4) AS BIGINT) AS d3,
+         CAST('0x' || substr(md5(u), 17, 4) AS BIGINT) AS d4,
+         CAST('0x' || substr(md5(u), 21, 4) AS BIGINT) AS d5,
+         CAST('0x' || substr(md5(u), 25, 4) AS BIGINT) AS d6,
+         CAST('0x' || substr(md5(u), 29, 4) AS BIGINT) AS d7
+       FROM tok),
+m AS (SELECT qv.query_id, qv.term, tv.doc_id,
+        MAX(d0*q0 + d1*q1 + d2*q2 + d3*q3
+            + d4*q4 + d5*q5 + d6*q6 + d7*q7) AS mx
+      FROM tv CROSS JOIN qv
+      GROUP BY qv.query_id, qv.term, tv.doc_id),
+s AS (SELECT query_id, doc_id,
+             CAST(SUM(mx) AS BIGINT) AS maxsim_score
+      FROM m GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, maxsim_score, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY maxsim_score DESC, doc_id ASC) AS rk
+  FROM s) t
+WHERE rk <= 5
+""",
+)
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _vec(col: F.Column, prefix: str) -> list[F.Column]:
+        h = F.md5(col)
+        return [
+            F.conv(F.substring(h, 4 * j + 1, 4), 16, 10)
+            .cast("long")
+            .alias(f"{prefix}{j}")
+            for j in range(8)
+        ]
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_QUERIES, "query_id int, term string")
+    qv = q.select("query_id", "term", *_vec(F.col("term"), "q"))
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("u")
+    )
+    tv = tok.select("doc_id", *_vec(F.col("u"), "d"))
+    dot = sum(
+        (F.col(f"d{j}") * F.col(f"q{j}") for j in range(1, 8)),
+        F.col("d0") * F.col("q0"),
+    )
+    m = (
+        tv.crossJoin(F.broadcast(qv))
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.max(dot).alias("mx"))
+    )
+    s = m.groupBy("query_id", "doc_id").agg(
+        F.sum("mx").cast("bigint").alias("maxsim_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "doc_id", "maxsim_score", "rk")
     )

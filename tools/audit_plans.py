@@ -127,6 +127,17 @@ EXPECTED = {
     # 1-row corpus-stats frame (N docs, T tokens) cross-joined onto
     # the per-(term,doc) tf rows
     "bm25_topk": {"BroadcastNestedLoopJoin"},
+    # 9-row query-token frame crossed onto the exploded token stream
+    "maxsim_late_interaction": {"BroadcastNestedLoopJoin"},
+    # largest-remainder apportionment windows over the one-row-per-
+    # source rollup (bounded by the source domain, ~20 rows)
+    "mixture_weight_solver": {"GlobalWindow"},
+    # retrieval-eval ops inherit #148's 1-row corpus-stats cross join
+    # (and precision adds a 2-row k-dimension cross)
+    "ndcg_at_10_eval": {"BroadcastNestedLoopJoin"},
+    "mrr_full_match": {"BroadcastNestedLoopJoin"},
+    "precision_recall_at_k": {"BroadcastNestedLoopJoin"},
+    "query_likelihood_dirichlet": {"BroadcastNestedLoopJoin"},
     # 1-row node-count frame cross-joined onto the 25-row nation frame
     "pagerank_nations": {"BroadcastNestedLoopJoin"},
     # 10-row centroid frames self-joined on label < label (non-equi
@@ -380,6 +391,16 @@ EXPECTED = {
 # streaming queries execute at construction; their returned frame is a
 # memory-sink table, so plan inspection happens in their own tests
 SKIP = {
+    # These two EXECUTE AT CONSTRUCTION (ADVICE r11 medium): their
+    # DataFrame-build path runs the whole multi-hop BFS — eager
+    # localCheckpoints + bounded driver collects — and returns a
+    # 9/15-row createDataFrame, so the plan this tool would audit is
+    # a trivial local scan (vacuously clean) while merely BUILDING it
+    # triggers full cluster jobs. Their per-hop expansion plan shape
+    # is pinned instead in tests/test_graph.py::
+    # test_bfs_layer_plan_shape.
+    "khop_reach_copurchase",
+    "harmonic_centrality_probes",
     "stream_tumbling_agg",
     "stream_static_join",
     "stream_dedup_agg",
@@ -413,24 +434,43 @@ def _top_level_brackets(s: str) -> list[str]:
 
 
 def _partitionless_window_ids(plan: str) -> set[int]:
-    """Node ids of Window operators with an EMPTY partition spec.
+    """Node ids of Window-family operators with an EMPTY partition
+    spec. Covers the physical variants (ADVICE r11): `Window`,
+    `WindowInPandas`/`ArrowWindowPython` (pandas-UDF windows — Spark
+    4.1 prints the Arrow name; same one-task global funnel), and
+    `WindowGroupLimit` (the rank-filter pushdown node; in Spark 4.1
+    the GLOBAL rank filter compiles to Window-over-
+    TakeOrderedAndProject instead, but the detector stays defensive).
 
-    The formatted detail block for a partitioned window ends
-    `Arguments: [exprs], [partition spec], [order spec]`; a
-    partition-less one omits the partition group entirely
-    (`[exprs], [order spec]` — order entries carry ASC/DESC — or just
-    `[exprs]` for a pure global frame)."""
+    For Window/WindowInPandas the formatted detail block of a
+    partitioned node ends `Arguments: [exprs], [partition spec],
+    [order spec]`; a partition-less one omits the partition group
+    entirely (`[exprs], [order spec]` — order entries carry ASC/DESC
+    — or just `[exprs]` for a pure global frame). WindowGroupLimit's
+    Arguments LEAD with the partition spec (`[partSpec], [orderSpec],
+    fn, k, mode`), printed as an explicit empty `[]` group when
+    partition-less."""
     import re
 
     ids = set()
     for m in re.finditer(
-        r"^\((\d+)\) Window\s*\n((?:.+\n)*?)(?=\n|\Z)", plan, re.M
+        r"^\((\d+)\) (Window(?:InPandas|GroupLimit)?|ArrowWindowPython)\s*\n"
+        r"((?:.+\n)*?)(?=\n|\Z)",
+        plan,
+        re.M,
     ):
-        nid = int(m.group(1))
-        arg = re.search(r"^Arguments: (.*)$", m.group(2), re.M)
+        nid, variant = int(m.group(1)), m.group(2)
+        arg = re.search(r"^Arguments: (.*)$", m.group(3), re.M)
         if not arg:
             continue
         groups = _top_level_brackets(arg.group(1))
+        if variant == "WindowGroupLimit":
+            # Arguments LEAD with the partition spec: partitioned iff
+            # two bracket groups with a non-empty first
+            if len(groups) >= 2 and groups[0].strip():
+                continue  # partitioned
+            ids.add(nid)
+            continue
         if len(groups) >= 3:
             continue  # partitioned
         if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
@@ -456,19 +496,50 @@ _BOUNDED_PRODUCERS = (
 # aggregate that bounded it ran before the checkpoint and is invisible
 # to this plan. The ONLY checkpointed artifacts a global window may
 # sit on are listed here by exact output-column signature, each with
-# its bound named; any other ExistingRDD leaf stays unbounded.
+# its bound named AND scoped to the queries known to consume it
+# (ADVICE r11: a signature alone — two one-letter column names —
+# could be shadowed by a future corpus-scale checkpoint by name
+# collision). The consumer set is derived from source, not
+# hand-maintained, so it cannot drift.
+def _daily_revenue_consumers() -> frozenset[str]:
+    """Query names whose @query body calls daily_revenue_table —
+    scanned from koalas_spark/queries/*.py source (same mechanical
+    rule as tests/test_survey_sync.py's registry parse)."""
+    import glob
+    import re
+
+    names = set()
+    for f in glob.glob("/root/repo/koalas_spark/queries/*.py"):
+        src = open(f).read()
+        if "daily_revenue_table" not in src:
+            continue
+        cur = None
+        for m in re.finditer(
+            r'@query\(\s*\n?\s*"([^"]+)"|daily_revenue_table\(', src
+        ):
+            if m.group(1):
+                cur = m.group(1)
+            elif cur:
+                names.add(cur)
+    return frozenset(names)
+
+
 _BOUNDED_ARTIFACT_SCANS = {
     # daily_revenue_table (queries/analytics.py:92): the day-domain
     # (d = days since 1995-01-01, x = cents) table — ~2.4k rows at
     # ANY corpus size; the groupBy(day) collapse runs before the
     # snapshot+checkpoint
-    frozenset({"d", "x"}): "daily_revenue day-domain table (~2.4k rows)",
+    frozenset({"d", "x"}): (
+        "daily_revenue day-domain table (~2.4k rows)",
+        _daily_revenue_consumers(),
+    ),
 }
 
 
-def _bounded_rdd_scan_ids(plan: str) -> set[int]:
+def _bounded_rdd_scan_ids(plan: str, name: str) -> set[int]:
     """Node ids of Scan ExistingRDD leaves whose output-column set
-    matches a named bounded-artifact signature."""
+    matches a named bounded-artifact signature AND whose enclosing
+    query is a known consumer of that artifact."""
     import re
 
     ids = set()
@@ -483,12 +554,13 @@ def _bounded_rdd_scan_ids(plan: str) -> set[int]:
         cols = frozenset(
             c for c, _ in re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)", arg.group(0))
         )
-        if cols in _BOUNDED_ARTIFACT_SCANS:
+        entry = _BOUNDED_ARTIFACT_SCANS.get(cols)
+        if entry is not None and name in entry[1]:
             ids.add(int(m.group(1)))
     return ids
 
 
-def _global_window_audit(plan: str) -> tuple[int, int]:
+def _global_window_audit(plan: str, name: str) -> tuple[int, int]:
     """(n partition-less Window nodes, n of those with NO bounded-
     domain producer on the path to every leaf of their subtree).
 
@@ -504,7 +576,7 @@ def _global_window_audit(plan: str) -> tuple[int, int]:
     pl_ids = _partitionless_window_ids(plan)
     if not pl_ids:
         return (0, 0)
-    bounded_rdd = _bounded_rdd_scan_ids(plan)
+    bounded_rdd = _bounded_rdd_scan_ids(plan, name)
     # parse tree lines: (name-start position, node name, id)
     nodes = []
     for ln in plan.splitlines():
@@ -569,7 +641,7 @@ def inspect_plan(plan: str, name: str) -> dict:
     # every input path (VERDICT r10 #8). GlobalWindow is allowlistable
     # in EXPECTED (the comment names the bound); UnboundedGlobalWindow
     # never is — deliberately NOT a prefix of any EXPECTED entry.
-    n_gw, n_gw_unbounded = _global_window_audit(plan)
+    n_gw, n_gw_unbounded = _global_window_audit(plan, name)
     if n_gw:
         flags.append("GlobalWindow")
     if n_gw_unbounded:
