@@ -138,6 +138,8 @@ HEADLINE = [
     "mixture_weight_solver",
     "ndcg_at_10_eval",
     "query_likelihood_dirichlet",
+    "daily_revenue_motif",
+    "daily_revenue_discord",
     "funnel_within_session",
     "snapshot_diff",
     "skew_audit_orders",

@@ -236,3 +236,198 @@ def multimodal_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blob"),
     )
     return audio_pitch_probe(wav, "doc_id", lags=(25, 50, 100))
+
+
+# --------------------------------------------------------------------
+# 471. daily-revenue MOTIF discovery (matrix-profile style) — the
+# best-matching pair of non-overlapping 7-observation subsequences in
+# the daily series ("which two weeks looked most alike"), the
+# time-series data-mining primitive next to the discord/changepoint
+# family (#228/#300). Distance is the EXACT-integer mean-centered
+# SAD: dist = SUM_k |7*(a_k - b_k) - (Sa - Sb)| — multiplying through
+# by w=7 clears the window-mean rationals, so no float ever enters
+# the ranking. Windows are 7 CONSECUTIVE OBSERVED days (rows of the
+# day table ordered by d, gaps spanned), collected as 7-element
+# arrays via a bounded-domain window over the ~2.4k-row daily
+# artifact; the pair sweep is the theil_sen-class non-equi self-join
+# over the bounded domain (row-index gap >= 7 enforces non-overlap),
+# never a corpus join. Top-3 pairs by (dist, d_i, d_j) via
+# TakeOrdered. Overflow: 7*|Δcents| * 7 terms <= ~1e13 at sf10 — int64.
+@query(
+    "daily_revenue_motif",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT d, rn, arr,
+         CAST(list_sum(arr) AS BIGINT) AS s
+  FROM (
+    SELECT d,
+           ROW_NUMBER() OVER (ORDER BY d) AS rn,
+           list(x) OVER (ORDER BY d
+                         ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS arr
+    FROM daily) t
+  WHERE LEN(arr) = 7),
+pairs AS (
+  SELECT a.d AS d_i, b.d AS d_j,
+         CAST(list_sum(list_transform(range(1, 8),
+                k -> ABS(7 * (a.arr[k] - b.arr[k]) - (a.s - b.s))))
+           AS BIGINT) AS dist_scaled
+  FROM win a JOIN win b ON b.rn >= a.rn + 7)
+SELECT d_i, d_j, dist_scaled
+FROM pairs
+ORDER BY dist_scaled ASC, d_i ASC, d_j ASC
+LIMIT 3
+""",
+)
+def daily_revenue_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
+    # bounded-domain window (the daily artifact is ~2.4k rows at any
+    # corpus size — the plan gate's named-artifact bless)
+    w = Window.orderBy("d").rowsBetween(0, 6)
+    win = (
+        daily.select(
+            "d",
+            F.row_number().over(Window.orderBy("d")).alias("rn"),
+            F.collect_list("x").over(w).alias("arr"),
+        )
+        .filter(F.size("arr") == 7)
+        .withColumn(
+            "s",
+            F.aggregate(
+                "arr", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            ),
+        )
+    )
+    a = win.select(
+        F.col("d").alias("d_i"),
+        F.col("rn").alias("rn_i"),
+        F.col("arr").alias("arr_i"),
+        F.col("s").alias("s_i"),
+    )
+    b = win.select(
+        F.col("d").alias("d_j"),
+        F.col("rn").alias("rn_j"),
+        F.col("arr").alias("arr_j"),
+        F.col("s").alias("s_j"),
+    )
+    pairs = a.join(b, F.col("rn_j") >= F.col("rn_i") + 7).select(
+        "d_i",
+        "d_j",
+        F.aggregate(
+            F.zip_with(
+                "arr_i",
+                "arr_j",
+                lambda x, y: F.abs(
+                    7 * (x - y) - (F.col("s_i") - F.col("s_j"))
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("dist_scaled"),
+    )
+    return pairs.orderBy("dist_scaled", "d_i", "d_j").limit(3)
+
+
+# --------------------------------------------------------------------
+# 472. daily-revenue DISCORD discovery (HOT-SAX style) — the anomaly
+# twin of #471: the subsequence whose distance to its NEAREST
+# non-overlapping neighbor is LARGEST ("the week least like any other
+# week"). Same exact-integer mean-centered SAD and the same bounded
+# day-domain pair sweep; per window the MIN over neighbors collapses
+# the pair frame back to the ~2.4k-row window domain before the
+# top-3. A motif is a low row in the matrix profile, a discord a high
+# one — together they are the matrix-profile read of the series.
+@query(
+    "daily_revenue_discord",
+    oracle="""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS d,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+win AS (
+  SELECT d, rn, arr,
+         CAST(list_sum(arr) AS BIGINT) AS s
+  FROM (
+    SELECT d,
+           ROW_NUMBER() OVER (ORDER BY d) AS rn,
+           list(x) OVER (ORDER BY d
+                         ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS arr
+    FROM daily) t
+  WHERE LEN(arr) = 7),
+prof AS (
+  SELECT a.d AS d_i,
+         CAST(MIN(list_sum(list_transform(range(1, 8),
+                k -> ABS(7 * (a.arr[k] - b.arr[k]) - (a.s - b.s)))))
+           AS BIGINT) AS nn_dist
+  FROM win a JOIN win b
+    ON b.rn >= a.rn + 7 OR b.rn <= a.rn - 7
+  GROUP BY a.d)
+SELECT d_i, nn_dist
+FROM prof
+ORDER BY nn_dist DESC, d_i ASC
+LIMIT 3
+""",
+)
+def daily_revenue_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from koalas_spark.queries.analytics import daily_revenue_table
+
+    daily = daily_revenue_table(spark, sf_dir)
+    w = Window.orderBy("d").rowsBetween(0, 6)
+    win = (
+        daily.select(
+            "d",
+            F.row_number().over(Window.orderBy("d")).alias("rn"),
+            F.collect_list("x").over(w).alias("arr"),
+        )
+        .filter(F.size("arr") == 7)
+        .withColumn(
+            "s",
+            F.aggregate(
+                "arr", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            ),
+        )
+    )
+    a = win.select(
+        F.col("d").alias("d_i"),
+        F.col("rn").alias("rn_i"),
+        F.col("arr").alias("arr_i"),
+        F.col("s").alias("s_i"),
+    )
+    b = win.select(
+        F.col("rn").alias("rn_j"),
+        F.col("arr").alias("arr_j"),
+        F.col("s").alias("s_j"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "arr_i",
+            "arr_j",
+            lambda x, y: F.abs(7 * (x - y) - (F.col("s_i") - F.col("s_j"))),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    prof = (
+        a.join(
+            b,
+            (F.col("rn_j") >= F.col("rn_i") + 7)
+            | (F.col("rn_j") <= F.col("rn_i") - 7),
+        )
+        .select("d_i", dist.alias("dd"))
+        .groupBy("d_i")
+        .agg(F.min("dd").cast("bigint").alias("nn_dist"))
+    )
+    return prof.orderBy(F.col("nn_dist").desc(), "d_i").limit(3)

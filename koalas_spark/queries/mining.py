@@ -370,18 +370,24 @@ def _dir_bytes(path: str) -> int:
 
 def graph_ckpt_level(sf_dir: str):
     """Storage level for GRAPH-SIZED per-call checkpoints (symmetrized
-    edge frames, adjacency derivatives): DISK_ONLY once the source
-    lineitem exceeds ~0.5 GB on disk (sf10+), None (the MEMORY_AND_
-    DESER default) at driver-graded SFs. The deserialized twin of a
-    ~300M-edge symmetrized frame measured 18-19 GB resident at sf10
-    (SCALING.md r10) — serialized disk blocks bound the heap instead,
-    trading a local re-read per consumer pass."""
+    edge frames, adjacency derivatives): MEMORY_AND_DISK (serialized
+    in memory, disk overflow) once the source lineitem exceeds
+    ~0.5 GB on disk (sf10+), None (the MEMORY_AND_DESER default) at
+    driver-graded SFs. The deserialized twin of a ~300M-edge
+    symmetrized frame measured 18-19 GB resident at sf10 (SCALING.md
+    r10), so r11 gated these to DISK_ONLY — which held the 16g heap
+    but cost triangle_count_doulion 110s→158s and jaccard_link_sampled
+    36.8s→59.8s in pure re-read (VERDICT r11 item 4). Serialized
+    in-memory blocks are ~4-5x smaller than the deserialized form AND
+    evictable: Spark's unified memory manager drops them to disk under
+    execution pressure, so the heap bound survives while hot blocks
+    skip the disk round-trip (r12 sf10 measurement in SCALING.md)."""
     if _dir_bytes(os.path.join(sf_dir, "lineitem.parquet")) > (
         512 * 1024 * 1024
     ):
         from pyspark.storagelevel import StorageLevel
 
-        return StorageLevel.DISK_ONLY
+        return StorageLevel.MEMORY_AND_DISK
     return None
 
 

@@ -162,3 +162,49 @@ def test_snapshot_replace_commit(spark, tmp_path):
     assert latest == [100, 101, 102]
     pinned = sorted(r["x"] for r in read_snapshot(spark, p, version=1).collect())
     assert pinned == [0, 1, 2, 3, 4]
+
+
+def test_bfs_layer_plan_shape(spark):
+    """Pin the PER-HOP expansion plan of mining._bfs_layer_counts
+    (ADVICE r11 medium): khop_reach_copurchase and
+    harmonic_centrality_probes execute the whole BFS at
+    DataFrame-construction time, so tools/audit_plans.py SKIPs them —
+    this test is the replacement scale gate. One hop must be a
+    key-partitioned equi-join (frontier x edges) + distinct: shuffle
+    hash/sort-merge only, never a broadcast nested loop or cartesian
+    over the edge set."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "u bigint, v bigint"
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "s bigint")
+    reach = seeds.select("s", F.col("s").alias("node"))
+    expanded = reach.join(edges, reach["node"] == edges["u"]).select(
+        "s", F.col("v").alias("node")
+    )
+    hop = reach.unionAll(expanded).distinct()
+    jvm = spark._jvm  # noqa: SLF001
+    plan = jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        hop._jdf.queryExecution(), "formatted"  # noqa: SLF001
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the frontier join is an equi-join on the edge key
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    # the cumulative-reach dedup is a keyed aggregate, not a global op
+    assert "HashAggregate" in plan
+
+    # and the counts themselves stay exact on a known graph: a
+    # 0-1-2-...-50 path symmetrized, seed 0 reaches hop+1 nodes,
+    # seed 7 reaches 2*hop+1
+    from koalas_spark.queries.mining import _bfs_layer_counts
+
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    counts = _bfs_layer_counts(sym, seeds, hops=3)
+    assert counts[(0, 1)] == 2 and counts[(0, 2)] == 3 and counts[(0, 3)] == 4
+    assert counts[(7, 1)] == 3 and counts[(7, 2)] == 5 and counts[(7, 3)] == 7

@@ -33,7 +33,7 @@ def test_corpus_scale_global_window_is_flagged(spark):
     bad = _li(spark).withColumn(
         "rn", F.row_number().over(Window.orderBy("l_orderkey"))
     )
-    n_gw, n_unbounded = _global_window_audit(_fmt(spark, bad))
+    n_gw, n_unbounded = _global_window_audit(_fmt(spark, bad), "unit_test")
     assert n_gw == 1 and n_unbounded == 1
 
 
@@ -44,7 +44,7 @@ def test_global_window_over_aggregate_is_bounded(spark):
         .agg(F.sum("l_quantity").alias("q"))
         .withColumn("rn", F.row_number().over(Window.orderBy("l_returnflag")))
     )
-    n_gw, n_unbounded = _global_window_audit(_fmt(spark, good))
+    n_gw, n_unbounded = _global_window_audit(_fmt(spark, good), "unit_test")
     assert n_gw == 1 and n_unbounded == 0
 
 
@@ -57,7 +57,7 @@ def test_partitioned_window_is_not_global(spark):
     )
     plan = _fmt(spark, part)
     assert _partitionless_window_ids(plan) == set()
-    assert _global_window_audit(plan) == (0, 0)
+    assert _global_window_audit(plan, "unit_test") == (0, 0)
 
 
 def test_join_with_raw_leg_is_unbounded(spark):
@@ -68,7 +68,7 @@ def test_join_with_raw_leg_is_unbounded(spark):
     mixed = li.join(agg, "l_orderkey").withColumn(
         "rn", F.row_number().over(Window.orderBy("l_orderkey"))
     )
-    n_gw, n_unbounded = _global_window_audit(_fmt(spark, mixed))
+    n_gw, n_unbounded = _global_window_audit(_fmt(spark, mixed), "unit_test")
     assert n_gw == 1 and n_unbounded == 1
 
 
@@ -81,6 +81,68 @@ def test_daily_artifact_scan_is_a_named_bound(spark):
     d = daily_revenue_table(spark, SF_SMOKE)
     w = d.withColumn("prev", F.lag("x").over(Window.orderBy("d")))
     plan = _fmt(spark, w)
-    assert _bounded_rdd_scan_ids(plan), "artifact signature not matched"
-    n_gw, n_unbounded = _global_window_audit(plan)
+    # the allowlist is scoped per consumer query (ADVICE r11): a
+    # known daily_revenue consumer is blessed, any other name is NOT
+    assert _bounded_rdd_scan_ids(plan, "acf_daily_revenue"), (
+        "artifact signature not matched for a known consumer"
+    )
+    n_gw, n_unbounded = _global_window_audit(plan, "acf_daily_revenue")
     assert n_gw == 1 and n_unbounded == 0
+    # name-collision defense: same signature under a non-consumer
+    # query name stays unbounded
+    assert _bounded_rdd_scan_ids(plan, "some_future_query") == set()
+    n_gw2, n_unbounded2 = _global_window_audit(plan, "some_future_query")
+    assert n_gw2 == 1 and n_unbounded2 == 1
+
+
+def test_pandas_window_partitionless_is_detected(spark):
+    # ADVICE r11: Spark 4.1 prints pandas windows as
+    # ArrowWindowPython — the detector must see the same one-task
+    # global funnel there as on a plain Window node
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    w = Window.orderBy("l_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bad = _li(spark).withColumn("m", _pmean("l_quantity").over(w))
+    plan = _fmt(spark, bad)
+    assert "ArrowWindowPython" in plan
+    assert len(_partitionless_window_ids(plan)) == 1
+    assert _global_window_audit(plan, "unit_test") == (1, 1)
+    # the partitioned form must NOT be flagged
+    wp = Window.partitionBy("l_returnflag").orderBy("l_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    good = _li(spark).withColumn("m", _pmean("l_quantity").over(wp))
+    assert _partitionless_window_ids(_fmt(spark, good)) == set()
+
+
+def test_window_group_limit_partitioned_not_flagged(spark):
+    # a partitioned rank filter compiles to WindowGroupLimit nodes
+    # (Partial + Final); neither may trip the partition-less detector
+    ranked = _li(spark).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+        ),
+    ).filter("rn <= 3")
+    plan = _fmt(spark, ranked)
+    assert "WindowGroupLimit" in plan
+    assert _partitionless_window_ids(plan) == set()
+    assert _global_window_audit(plan, "unit_test") == (0, 0)
+    # synthetic partition-less WindowGroupLimit detail block (Spark
+    # 4.1 compiles the global case away, so pin the parser directly)
+    synth = (
+        "== Physical Plan ==\n"
+        "WindowGroupLimit (1)\n"
+        "\n\n"
+        "(1) WindowGroupLimit\n"
+        "Input [1]: [id#0L]\n"
+        "Arguments: [], [id#0L ASC NULLS FIRST], row_number(), 3, Final\n"
+    )
+    assert _partitionless_window_ids(synth) == {1}

@@ -132,6 +132,11 @@ EXPECTED = {
     # largest-remainder apportionment windows over the one-row-per-
     # source rollup (bounded by the source domain, ~20 rows)
     "mixture_weight_solver": {"GlobalWindow"},
+    # matrix-profile pair: day-squared non-equi self-join over the
+    # ~2.4k-row daily artifact (theil_sen class) + bounded-domain
+    # subsequence windows over the same artifact
+    "daily_revenue_motif": {"BroadcastNestedLoopJoin", "GlobalWindow"},
+    "daily_revenue_discord": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # retrieval-eval ops inherit #148's 1-row corpus-stats cross join
     # (and precision adds a 2-row k-dimension cross)
     "ndcg_at_10_eval": {"BroadcastNestedLoopJoin"},
