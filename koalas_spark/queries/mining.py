@@ -370,24 +370,30 @@ def _dir_bytes(path: str) -> int:
 
 def graph_ckpt_level(sf_dir: str):
     """Storage level for GRAPH-SIZED per-call checkpoints (symmetrized
-    edge frames, adjacency derivatives): MEMORY_AND_DISK (serialized
-    in memory, disk overflow) once the source lineitem exceeds
-    ~0.5 GB on disk (sf10+), None (the MEMORY_AND_DESER default) at
-    driver-graded SFs. The deserialized twin of a ~300M-edge
-    symmetrized frame measured 18-19 GB resident at sf10 (SCALING.md
-    r10), so r11 gated these to DISK_ONLY — which held the 16g heap
-    but cost triangle_count_doulion 110s→158s and jaccard_link_sampled
-    36.8s→59.8s in pure re-read (VERDICT r11 item 4). Serialized
-    in-memory blocks are ~4-5x smaller than the deserialized form AND
-    evictable: Spark's unified memory manager drops them to disk under
-    execution pressure, so the heap bound survives while hot blocks
-    skip the disk round-trip (r12 sf10 measurement in SCALING.md)."""
+    edge frames, adjacency derivatives): DISK_ONLY once the source
+    lineitem exceeds ~0.5 GB on disk (sf10+), None (the MEMORY_AND_
+    DESER default) at driver-graded SFs.
+
+    BOTH softer alternatives were A/B-measured at sf10 in round 12
+    and REJECTED (SCALING.md r12, the Bloom-precedent disposition):
+    MEMORY_AND_DISK (serialized heap + overflow) degenerates to
+    DISK_ONLY plus eviction overhead under 16g execution pressure —
+    the unified manager evicted the pair artifact fully to disk
+    (mem=0 / disk=1.19 GB observed) and harmonic_centrality_probes
+    regressed 80.1s -> 118.5s; the deserialized default at a 48 GB
+    heap (r10's configuration) no longer reproduces r10's walls
+    either (jaccard_link_sampled 77-140s across reps vs 36.8s
+    recorded in r10, triangle 133-169s vs 110s — the rep-to-rep
+    spread is the GCLocker thrash r11 documented at 48g). DISK_ONLY
+    remains both the fastest stable choice and the one that holds
+    the default 16 GB heap; serialized disk blocks bound the heap,
+    trading a local re-read per consumer pass."""
     if _dir_bytes(os.path.join(sf_dir, "lineitem.parquet")) > (
         512 * 1024 * 1024
     ):
         from pyspark.storagelevel import StorageLevel
 
-        return StorageLevel.MEMORY_AND_DISK
+        return StorageLevel.DISK_ONLY
     return None
 
 

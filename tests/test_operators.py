@@ -381,3 +381,22 @@ def test_fuzzy_match_block_gate(spark):
         for r in fuzzy_match_parts_gated(spark, SF_SMOKE).collect()
     }
     assert deflt == coarse
+
+
+def test_mixture_weight_solver_invariants(spark):
+    """#466's apportionment contract: weights are integer tenths that
+    sum EXACTLY to the budget B = 10 * n_sources, every source gets a
+    voice (score floored at 1), and the signal columns stay in their
+    documented ranges."""
+    from koalas_spark.queries.pipeline import mixture_weight_solver
+
+    rows = mixture_weight_solver(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n >= 2
+    assert sum(r["w10"] for r in rows) == 10 * n
+    for r in rows:
+        assert 0 <= r["qual_ppm"] <= 1_000_000
+        assert 0 <= r["uniq_ppm"] <= 1_000_000
+        assert r["eff_langs_milli"] >= 1000  # >= 1 effective language
+        assert r["score"] >= 1
+        assert r["w10"] >= 0
