@@ -11,6 +11,16 @@ working-set regressions as OOM. Value correctness at sf10 is NOT
 checked here (no DuckDB twin at that scale); that's what the
 sf0.001..sf1 oracle sweeps are for.
 
+Each op runs in its OWN SUBPROCESS (the check_oracle shard-driver
+discipline): the gate's first same-session run died of accumulated
+JVM pressure after 14 heavy queries (GCLocker thrash -> dead session
+-> every later op falsely FAILed), and isolation also gives every op
+the full heap — the same failure-isolation a per-query driver job
+gets on a real cluster. Session-shared artifacts persist as on-disk
+snapshots, so each subprocess pays only the checkpoint respread, and
+a warmup step (--one=__warmup__) charges the one-time artifact BUILD
+to its own row instead of whichever graph consumer runs first.
+
 Usage:
     python tools/sf10_gate.py [sf_dir] [--ops=a,b,c] [--top=20]
 
@@ -24,13 +34,11 @@ from __future__ import annotations
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-
-from koalas_spark import get_spark
-from koalas_spark.queries import all_queries
 
 
 def _bench_map() -> tuple[float, dict[str, float]]:
@@ -48,17 +56,46 @@ def _bench_map() -> tuple[float, dict[str, float]]:
         return (0.1, {})
 
 
+def _run_one(name: str, sf_dir: str) -> int:
+    """Child-process entry: execute one op (or the artifact warmup)
+    through the noop sink; exit 0 on success."""
+    from koalas_spark import get_spark
+    from koalas_spark.queries import all_queries
+
+    spark = get_spark("sf10_gate")
+    queries = all_queries()
+    if name == "__warmup__":
+        for art in ("degree_distribution_copurchase", "acf_daily_revenue"):
+            if art in queries:
+                queries[art](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+        return 0
+    queries[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return 0
+
+
 def main(argv: list[str]) -> int:
     sf_dir = "/root/repo/.tmp/sf10"
     ops: list[str] = []
     top_n = 20
+    one: str | None = None
     for a in argv:
         if a.startswith("--ops="):
             ops += [x for x in a.split("=", 1)[1].split(",") if x]
         elif a.startswith("--top="):
             top_n = int(a.split("=", 1)[1])
+        elif a.startswith("--one="):
+            one = a.split("=", 1)[1]
         else:
             sf_dir = a
+    if one is not None:
+        return _run_one(one, sf_dir)
+
+    from koalas_spark.queries import all_queries
+
     bsf, bench = _bench_map()
     queries = all_queries()
     slowest = [
@@ -71,19 +108,36 @@ def main(argv: list[str]) -> int:
     if missing:
         print(f"UNKNOWN OPS: {missing}")
         return 2
-    spark = get_spark("sf10_gate")
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     decades = math.log10(10.0 / bsf)
+
+    def _spawn(op: str) -> tuple[bool, float, str]:
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, f"--one={op}"],
+            capture_output=True,
+            text=True,
+            timeout=7200,
+        )
+        wall = time.time() - t0
+        tail = ""
+        if p.returncode != 0:
+            lines = [
+                ln
+                for ln in (p.stderr or "").splitlines()
+                if ln.strip() and "WARN" not in ln
+            ]
+            tail = (lines[-1] if lines else f"exit {p.returncode}")[:160]
+        return (p.returncode == 0, wall, tail)
+
+    ok_w, wall_w, _ = _spawn("__warmup__")
+    print(f"(artifact warmup: {wall_w:.1f}s, {'OK' if ok_w else 'FAIL'})\n")
     print(f"| op | sf10 wall | sf{bsf} wall | per-decade | status |")
     print("| --- | --- | --- | --- | --- |")
     n_ok = 0
     for name in names:
-        t0 = time.time()
-        try:
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            wall = time.time() - t0
+        ok, wall, err = _spawn(name)
+        if ok:
             b = bench.get(name)
             if b and b > 0:
                 per_dec = (wall / b) ** (1.0 / decades)
@@ -93,15 +147,11 @@ def main(argv: list[str]) -> int:
                     flush=True,
                 )
             else:
-                print(
-                    f"| {name} | {wall:.1f}s | - | - | OK |", flush=True
-                )
+                print(f"| {name} | {wall:.1f}s | - | - | OK |", flush=True)
             n_ok += 1
-        except Exception as exc:  # noqa: BLE001 — the gate must report, not die
-            head = str(exc).splitlines()[0][:160] if str(exc) else repr(exc)
+        else:
             print(
-                f"| {name} | {time.time() - t0:.1f}s | - | - "
-                f"| **FAIL**: {head} |",
+                f"| {name} | {wall:.1f}s | - | - | **FAIL**: {err} |",
                 flush=True,
             )
     verdict = "PASS" if n_ok == len(names) else "FAIL"
