@@ -405,14 +405,11 @@ FROM dg GROUP BY 1
 """,
 )
 def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    # reads (and on first touch, builds) the materialized |V|-sized
+    # degree artifact shared by the wedge/probe family (round 12)
+    from koalas_spark.queries.mining import copurchase_degree_table
 
-    e = _copurchase_edge_set(spark, sf_dir)
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("x"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
-    )
+    deg = copurchase_degree_table(spark, sf_dir)
     return deg.groupBy(
         F.length(F.bin(F.col("dg"))).cast("int").alias("bucket")
     ).agg(

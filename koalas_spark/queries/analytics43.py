@@ -342,14 +342,18 @@ ORDER BY p.u
 def local_clustering_copurchase(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        copurchase_degree_table,
+    )
 
     e = _copurchase_edge_set(spark, sf_dir)
     adj = e.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
         e.select(F.col("v").alias("c"), F.col("u").alias("x"))
     )
-    deg = adj.groupBy("c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dg")
+    # degrees from the materialized |V|-sized artifact (round 12)
+    deg = copurchase_degree_table(spark, sf_dir).select(
+        F.col("x").alias("c"), "dg"
     )
     probes = deg.filter(
         (F.col("c") % 97 == 0) & (F.col("dg") >= 2) & (F.col("dg") <= 256)

@@ -547,8 +547,14 @@ def local_clustering_probes(
     adj = e.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
         e.select(F.col("v").alias("c"), F.col("u").alias("x"))
     )
-    alldeg = adj.groupBy("c").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dg")
+    # probe selection reads the MATERIALIZED degree artifact (round
+    # 12): recomputing degrees was a 2|E|-row shuffle per consumer —
+    # roughly half this query's sf10 wall — for a |V|-sized pure
+    # function of the pair table
+    from koalas_spark.queries.mining import copurchase_degree_table
+
+    alldeg = copurchase_degree_table(spark, sf_dir).select(
+        F.col("x").alias("c"), "dg"
     )
     probes = (
         alldeg.filter(

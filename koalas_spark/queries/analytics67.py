@@ -160,14 +160,15 @@ FROM agg
 """,
 )
 def rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        copurchase_degree_table,
+    )
 
     e = _copurchase_edge_set(spark, sf_dir)
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("x"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
-    )
+    # degrees from the materialized |V|-sized artifact (round 12) —
+    # the 2|E|-row degree shuffle no longer re-runs per consumer
+    deg = copurchase_degree_table(spark, sf_dir)
     dh = deg.groupBy("dg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     du = deg.select(F.col("x").alias("u"), F.col("dg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("dg").alias("dv"))

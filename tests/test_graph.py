@@ -208,3 +208,15 @@ def test_bfs_layer_plan_shape(spark):
     counts = _bfs_layer_counts(sym, seeds, hops=3)
     assert counts[(0, 1)] == 2 and counts[(0, 2)] == 3 and counts[(0, 3)] == 4
     assert counts[(7, 1)] == 3 and counts[(7, 2)] == 5 and counts[(7, 3)] == 7
+
+
+def test_degree_artifact_matches_fresh_build(spark):
+    """The materialized co-purchase degree artifact (round 12) must be
+    value-identical to a fresh degree build from the edge set."""
+    from koalas_spark.queries.mining import copurchase_degree_table
+
+    sf = "/root/testdata/sf0.001"
+    cached = copurchase_degree_table(spark, sf).collect()
+    fresh = copurchase_degree_table(spark, sf, rebuild=True).collect()
+    assert sorted(map(tuple, cached)) == sorted(map(tuple, fresh))
+    assert len({r["x"] for r in cached}) == len(cached)  # node unique

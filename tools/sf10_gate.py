@@ -71,9 +71,14 @@ def _run_one(name: str, sf_dir: str) -> int:
                     "overwrite"
                 ).save()
         return 0
+    # stamp the QUERY-ONLY wall (session startup excluded) for the
+    # parent to parse — a cold JVM adds ~13s that would otherwise
+    # swamp the per-decade ratio of sub-second ops
+    t0 = time.time()
     queries[name](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    print(f"GATE_WALL {time.time() - t0:.3f}", flush=True)
     return 0
 
 
@@ -120,6 +125,10 @@ def main(argv: list[str]) -> int:
             timeout=7200,
         )
         wall = time.time() - t0
+        # prefer the child's query-only stamp (excludes JVM startup)
+        for ln in (p.stdout or "").splitlines():
+            if ln.startswith("GATE_WALL "):
+                wall = float(ln.split()[1])
         tail = ""
         if p.returncode != 0:
             lines = [
