@@ -235,14 +235,23 @@ FROM m
 """,
 )
 def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        copurchase_degree_table,
+        graph_ckpt_level,
+    )
 
     e0 = _copurchase_edge_set(spark, sf_dir)
     e = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
-    dg = e.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dg")
+    ).localCheckpoint(
+        eager=False, storageLevel=graph_ckpt_level(sf_dir)
+    )
+    # degrees from the materialized |V|-sized artifact (round 12) —
+    # drops the per-call 2|E|-row degree shuffle; the symmetrized
+    # checkpoint also rides graph_ckpt_level (sf10 gate discipline)
+    dg = copurchase_degree_table(spark, sf_dir).select(
+        F.col("x").alias("node"), "dg"
     )
     du = dg.select(F.col("node").alias("u"), F.col("dg").alias("x"))
     dv = dg.select(F.col("node").alias("v"), F.col("dg").alias("y"))

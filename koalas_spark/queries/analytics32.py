@@ -56,12 +56,20 @@ SELECT rnd, n_survivors FROM (
 """,
 )
 def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        graph_ckpt_level,
+    )
 
+    # GRAPH-SIZED checkpoints ride graph_ckpt_level (round-12 sf10
+    # gate catch: the 600M-row symmetrized frame at the deserialized
+    # default killed the 16g session); the per-round re-checkpoints
+    # shrink monotonically and all ride the same level
+    lvl = graph_ckpt_level(sf_dir)
     e0 = _copurchase_edge_set(spark, sf_dir)
     g = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=lvl)
     counts = []
     for rnd in (1, 2, 3):
         surv = (
@@ -83,7 +91,7 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(
                     surv.select(F.col("u").alias("v")), "v", "left_semi"
                 )
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=False, storageLevel=lvl)
             )
     out = counts[0]
     for f in counts[1:]:

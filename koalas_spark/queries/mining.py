@@ -260,7 +260,7 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edge_set(spark, sf_dir)
-    tri = _count_triangles(e)
+    tri = _count_triangles(e, ckpt_level=graph_ckpt_level(sf_dir))
     n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
 
@@ -501,9 +501,13 @@ def _bfs_layer_counts(
     return counts
 
 
-def _count_triangles(e: DataFrame) -> DataFrame:
+def _count_triangles(e: DataFrame, ckpt_level=None) -> DataFrame:
     """Degree-oriented wedge join + closing equi-join over a canonical
-    (u, v) edge frame → 1-row (n_triangles) frame."""
+    (u, v) edge frame → 1-row (n_triangles) frame. ``ckpt_level``
+    feeds the oriented-edge checkpoint (callers pass
+    graph_ckpt_level(sf_dir)): at sf10 the EXACT path's oriented
+    frame is ~300M rows and the deserialized default killed a 16g
+    session — the round-12 sf10 gate's catch."""
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
@@ -533,7 +537,7 @@ def _count_triangles(e: DataFrame) -> DataFrame:
             .alias("s")
         )
         .select("s.src", "s.dst", "s.ddst")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=ckpt_level)
     )
     x = o.alias("x")
     y = o.alias("y")
