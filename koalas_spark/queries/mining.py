@@ -226,6 +226,11 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_EXACT_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TRIANGLE_EXACT_MAX", 256 * 1024 * 1024)
+)
+
+
 # --------------------------------------------------------------------
 # 171. triangle counting over the co-purchase graph — the classic
 # distributed graph primitive (clustering coefficient / community
@@ -259,6 +264,31 @@ SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
 """,
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXPLICIT scale guard (round-12 sf10 gate): the exact wedge set
+    # at sf10 is ~5e9 rows — a >120 GB closing-join shuffle that
+    # exceeds this box's free disk and died twice (10-minute JVM
+    # death march, DISK_ONLY notwithstanding). The guard is
+    # metadata-only (pair-snapshot bytes on disk — no job runs at
+    # DataFrame construction, so the plan audit stays lazy): sf1's
+    # snapshot is 94 MB and the exact count takes ~40s; sf10's is
+    # 918 MB and is disk-infeasible here. Deployments with real
+    # shuffle disk raise SPARK_GRAFT_TRIANGLE_EXACT_MAX; the
+    # documented at-scale paths are triangle_count_doulion (unbiased
+    # sampled, passes the sf10 gate) or a support-thresholded edge
+    # set through this same pipeline.
+    snap = _copurchase_artifact_path(sf_dir)
+    if (
+        os.path.isdir(snap)
+        and _dir_bytes(snap) > TRIANGLE_EXACT_MAX_BYTES
+    ):
+        raise RuntimeError(
+            "triangle_count_parts: exact wedge join is infeasible at "
+            f"this scale (pair artifact {_dir_bytes(snap) >> 20} MB > "
+            f"{TRIANGLE_EXACT_MAX_BYTES >> 20} MB guard). Use "
+            "triangle_count_doulion (unbiased sampled count) or raise "
+            "SPARK_GRAFT_TRIANGLE_EXACT_MAX on a cluster with "
+            "sufficient shuffle disk."
+        )
     e = _copurchase_edge_set(spark, sf_dir)
     tri = _count_triangles(e, ckpt_level=graph_ckpt_level(sf_dir))
     n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
