@@ -573,11 +573,18 @@ def local_clustering_probes(
     pairs = a.join(
         b, (F.col("s") == F.col("s2")) & (F.col("xa") < F.col("xb"))
     ).select("s", "xa", "xb")
+    # closing join INVERTED (round 12): as `pairs LEFT SEMI e` Spark
+    # must shuffle the |E|-row edge side on (u, v) — a small left
+    # side cannot be the broadcast build of a semi-join — and that
+    # shuffle was ~90% of the sf10 wall. pairs is <= 5 * cap^2 rows
+    # BY CONSTRUCTION (the hub cap), so broadcast it under an inner
+    # join instead: e streams map-side, zero shuffle. Each pairs row
+    # matches at most one (distinct) edge, so the per-probe count is
+    # identical.
     tri = (
-        pairs.join(
-            e,
+        e.join(
+            F.broadcast(pairs),
             (F.col("xa") == e["u"]) & (F.col("xb") == e["v"]),
-            "left_semi",
         )
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
