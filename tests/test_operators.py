@@ -389,6 +389,7 @@ def test_mixture_weight_solver_invariants(spark):
     voice (score floored at 1), and the signal columns stay in their
     documented ranges."""
     from koalas_spark.queries.pipeline import mixture_weight_solver
+    from tests.conftest import SF_SMOKE
 
     rows = mixture_weight_solver(spark, SF_SMOKE).collect()
     n = len(rows)
