@@ -58,27 +58,44 @@ SELECT rnd, n_survivors FROM (
 def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.queries.mining import (
         _copurchase_edge_set,
+        copurchase_degree_table,
         graph_ckpt_level,
     )
 
-    # GRAPH-SIZED checkpoints ride graph_ckpt_level (round-12 sf10
-    # gate catch: the 600M-row symmetrized frame at the deserialized
-    # default killed the 16g session); the per-round re-checkpoints
-    # shrink monotonically and all ride the same level
+    # Round-13 rewrite of the peel loop (VERDICT r12 #3 — was
+    # 8.1×/decade, 226.6s at sf10, the worst non-guarded scaler):
+    #   * round-1 degrees come FREE from the shared |V|-sized
+    #     copurchase_degree_table artifact (mining.py — the r12 trick
+    #     that halved local_clustering_probes), replacing a full
+    #     2|E|-row groupBy scan;
+    #   * survivor sets are |V|-bounded single-long frames, so BOTH
+    #     per-round semi-joins BROADCAST them instead of sort-merge-
+    #     shuffling the 2|E|-row edge frame twice per round (the r12
+    #     plan's dominant cost — 4 full-graph shuffles across the
+    #     loop). The edge frame is checkpointed ONCE (DISK_ONLY at
+    #     sf10 via graph_ckpt_level) and every later pass re-reads it
+    #     with ≤4 stacked broadcast-hash probes — no intermediate
+    #     graph checkpoints, no graph shuffle after the first.
+    #   * the per-round degree groupBy keeps map-side partial combine:
+    #     the shuffle moves O(partitions × |V|) partial counts, never
+    #     2|E| rows.
+    # 100× posture: broadcast is right while |V| ≪ |E| (200k nodes vs
+    # 300M edges at sf10; ~2 MB of longs). If |V| ever outgrows the
+    # driver, the semi-joins fall back to shuffles by dropping the
+    # broadcast hints — the values are unchanged either way.
     lvl = graph_ckpt_level(sf_dir)
     e0 = _copurchase_edge_set(spark, sf_dir)
     g = e0.unionAll(
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False, storageLevel=lvl)
+    surv = (
+        copurchase_degree_table(spark, sf_dir)
+        .filter(F.col("dg") >= 8)
+        .select(F.col("x").alias("u"))
+        .localCheckpoint(eager=False)
+    )
     counts = []
     for rnd in (1, 2, 3):
-        surv = (
-            g.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("dg"))
-            .filter(F.col("dg") >= 8)
-            .select("u")
-            .localCheckpoint(eager=False)
-        )
         counts.append(
             surv.agg(
                 F.lit(rnd).alias("rnd"),
@@ -86,12 +103,17 @@ def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if rnd < 3:
-            g = (
-                g.join(surv, "u", "left_semi")
-                .join(
-                    surv.select(F.col("u").alias("v")), "v", "left_semi"
-                )
-                .localCheckpoint(eager=False, storageLevel=lvl)
+            g = g.join(F.broadcast(surv), "u", "left_semi").join(
+                F.broadcast(surv.select(F.col("u").alias("v"))),
+                "v",
+                "left_semi",
+            )
+            surv = (
+                g.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("dg"))
+                .filter(F.col("dg") >= 8)
+                .select("u")
+                .localCheckpoint(eager=False)
             )
     out = counts[0]
     for f in counts[1:]:
