@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from koalas_spark.operators.similarity import brute_force_topk, lsh_topk
@@ -408,11 +408,11 @@ def ann_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rq_topk(emb, probes, codebook_src, "vec_id", "embedding", k=5)
 
 
-def _nn_descent_oracle_sql(k: int = 10, iters: int = 4, tgt: int = 5) -> str:
-    """Chained-CTE replay of NN-Descent: portable md5-prefix bucket
-    init (3 salts), then per round candidates = edges ∪ reversed ∪
-    neighbor-of-neighbor, re-ranked to the best k per node by rounded
-    cosine with (cos DESC, dst ASC) ties. All CTEs MATERIALIZED."""
+def _nn_descent_chain(k: int = 10, iters: int = 4, tgt: int = 5) -> list[str]:
+    """Shared chained-CTE replay of NN-Descent construction (parts
+    list ending at e{iters}) — assembled into a full oracle by
+    _nn_descent_oracle_sql (#199) and extended with the beam-search
+    tail by _graph_search_oracle_sql (#474)."""
     cos = "ROUND(list_dot_product(a.v, b.v) / SQRT(a.n2 * b.n2), 6)"
 
     def top_k(cand: str, out: str) -> str:
@@ -458,10 +458,131 @@ def _nn_descent_oracle_sql(k: int = 10, iters: int = 4, tgt: int = 5) -> str:
             f"  WHERE src != dst)"
         )
         parts.append(top_k(f"c{i + 1}", f"e{i + 1}"))
+    return parts
+
+
+def _nn_descent_oracle_sql(k: int = 10, iters: int = 4, tgt: int = 5) -> str:
+    """Chained-CTE replay of NN-Descent: portable md5-prefix bucket
+    init (3 salts), then per round candidates = edges ∪ reversed ∪
+    neighbor-of-neighbor, re-ranked to the best k per node by rounded
+    cosine with (cos DESC, dst ASC) ties. All CTEs MATERIALIZED."""
+    parts = _nn_descent_chain(k, iters, tgt)
     return (
         ",\n".join(parts)
         + f"\nSELECT src AS probe_id, dst AS neighbor_id, cos_sim, rk"
         f" FROM e{iters} WHERE src < 5"
+    )
+
+
+def _graph_search_chain(
+    k: int = 10,
+    iters: int = 4,
+    tgt: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    topk: int = 5,
+    n_entry: int = 16,
+    n_probe: int = 5,
+) -> list[str]:
+    """Chained-CTE replay of the fixed-round greedy beam search over
+    the NN-Descent graph (#474): the full construction chain from
+    _nn_descent_chain, then per round (candidates = beam ∪ beam's
+    out-neighbors, re-score by rounded cosine, keep the best `beam`
+    per probe) with the visited set accumulated. Ends with `gsr` =
+    the ranked top-`topk` of everything visited. All CTEs
+    MATERIALIZED; assembled by #474's oracle and extended by #477's
+    recall audit."""
+    cosq = "ROUND(list_dot_product(p.pv, c.v) / SQRT(p.pn2 * c.n2), 6)"
+    parts = _nn_descent_chain(k, iters, tgt)
+    parts.append(f"g AS MATERIALIZED (SELECT src, dst FROM e{iters})")
+    parts.append(
+        "probe AS MATERIALIZED (\n"
+        f"  SELECT vid AS pid, v AS pv, n2 AS pn2 FROM vec WHERE vid < {n_probe})"
+    )
+    parts.append(
+        "sc0 AS MATERIALIZED (\n"
+        f"  SELECT p.pid, c.vid AS node, {cosq} AS cs\n"
+        f"  FROM probe p JOIN vec c ON c.vid < {n_entry})"
+    )
+    parts.append("vis0 AS MATERIALIZED (SELECT pid, node, cs FROM sc0)")
+
+    def beam_cte(src: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (\n"
+            f"  SELECT pid, node FROM (\n"
+            f"    SELECT pid, node, ROW_NUMBER() OVER (PARTITION BY pid\n"
+            f"      ORDER BY cs DESC, node ASC) AS rk FROM {src}) t\n"
+            f"  WHERE rk <= {beam})"
+        )
+
+    parts.append(beam_cte("sc0", "beam0"))
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"cand{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT pid, node FROM (\n"
+            f"    SELECT pid, node FROM beam{r - 1}\n"
+            f"    UNION ALL\n"
+            f"    SELECT b.pid, g.dst AS node\n"
+            f"    FROM beam{r - 1} b JOIN g ON g.src = b.node) t)"
+        )
+        parts.append(
+            f"sc{r} AS MATERIALIZED (\n"
+            f"  SELECT t.pid, c.vid AS node, {cosq} AS cs\n"
+            f"  FROM cand{r} t JOIN probe p ON p.pid = t.pid\n"
+            f"                 JOIN vec c ON c.vid = t.node)"
+        )
+        parts.append(beam_cte(f"sc{r}", f"beam{r}"))
+        parts.append(
+            f"vis{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT pid, node, cs FROM (\n"
+            f"    SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM sc{r}) t)"
+        )
+    parts.append(
+        "gsr AS MATERIALIZED (\n"
+        "  SELECT pid AS probe_id, node AS neighbor_id, cs AS cos_sim, rk"
+        " FROM (\n"
+        "    SELECT pid, node, cs, ROW_NUMBER() OVER (PARTITION BY pid\n"
+        "      ORDER BY cs DESC, node ASC) AS rk\n"
+        f"    FROM vis{rounds} WHERE node != pid) t\n"
+        f"  WHERE rk <= {topk})"
+    )
+    return parts
+
+
+def _graph_search_oracle_sql(**kw) -> str:
+    return (
+        ",\n".join(_graph_search_chain(**kw))
+        + "\nSELECT probe_id, neighbor_id, cos_sim, rk FROM gsr"
+    )
+
+
+def _graph_search_recall_oracle_sql(
+    topk: int = 5, n_probe: int = 5, **kw
+) -> str:
+    """#477: the #474 chain plus an exact brute-force twin over the
+    same vec frame, rolled up to per-probe recall@topk."""
+    parts = _graph_search_chain(topk=topk, n_probe=n_probe, **kw)
+    cos = "ROUND(list_dot_product(p.v, c.v) / SQRT(p.n2 * c.n2), 6)"
+    parts.append(
+        "bf AS MATERIALIZED (\n"
+        "  SELECT probe_id, neighbor_id FROM (\n"
+        "    SELECT p.vid AS probe_id, c.vid AS neighbor_id,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY p.vid\n"
+        f"             ORDER BY {cos} DESC, c.vid ASC) AS rk\n"
+        "    FROM vec p JOIN vec c ON p.vid != c.vid\n"
+        f"    WHERE p.vid < {n_probe}) t\n"
+        f"  WHERE rk <= {topk})"
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT probe_id, n_hits,
+       CAST(n_hits * 1000000 // {topk} AS BIGINT) AS recall_ppm
+FROM (
+  SELECT g.probe_id, CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_hits
+  FROM gsr g LEFT JOIN bf b
+    ON b.probe_id = g.probe_id AND b.neighbor_id = g.neighbor_id
+  GROUP BY g.probe_id) t"""
     )
 
 
@@ -486,4 +607,178 @@ def ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         graph.filter(F.col("src") < 5)
         .withColumnsRenamed({"src": "probe_id", "dst": "neighbor_id"})
+    )
+
+
+# 474. greedy beam search over the NN-Descent graph — the QUERY path
+# that completes the graph-ANN story (#199 builds the k-NN graph;
+# this walks it, the NSW/HNSW-family search shape): start from a
+# FIXED entry set (the 16 codebook vectors, the same convention every
+# coarse quantizer in §2.4 uses), then 3 fixed expansion rounds of
+# (candidates = beam ∪ beam's out-neighbors → re-score by rounded
+# cosine → keep the best 8 per probe), answering the top-5 of
+# everything visited. Fixed rounds instead of expand-until-converged
+# is the distributable, oracle-replayable shape (the #258 fixed-hop
+# BFS discipline). Scale shape: every per-round frame is bounded by
+# probes × beam × out-degree (≤ 400 rows here) — the graph is the
+# only big frame and it is touched ONLY by an equi-join on src, so
+# at 1B vectors each round is one hash-probe of the edge table by a
+# broadcast frontier; nothing scans the corpus and nothing is
+# quadratic. Ties break (cos DESC, node ASC) everywhere, so beam
+# membership — and therefore the whole walk — is deterministic in
+# both engines. Recall vs the exact #42 neighbors is unit-tested
+# (tests/test_similarity.py::test_graph_search_recall).
+def _graph_search_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(vec frame, ranked beam-search result) — shared by #474 and
+    the #477 recall audit."""
+    from koalas_spark.operators.similarity import nn_descent
+
+    emb = _t(spark, sf_dir, "embeddings")
+    graph = (
+        nn_descent(emb, "vec_id", "embedding", k=10, iters=4)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec = (
+        emb.select(F.col("vec_id").alias("vid"), v.alias("v"))
+        .withColumn("n2", dot(F.col("v"), F.col("v")))
+        .filter(F.col("n2") > 0)
+        .localCheckpoint(eager=False)
+    )
+    probe = vec.filter(F.col("vid") < 5).select(
+        F.col("vid").alias("pid"),
+        F.col("v").alias("pv"),
+        F.col("n2").alias("pn2"),
+    )
+    cvec = vec.select(
+        F.col("vid").alias("node"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        # cand is probes×beam×degree-bounded — IT broadcasts; the
+        # corpus-sized vector table is probed by equi-join on node
+        return (
+            F.broadcast(cand)
+            .join(cvec, "node")
+            .join(F.broadcast(probe), "pid")
+            .select(
+                "pid",
+                "node",
+                F.round(
+                    dot(F.col("pv"), F.col("cv"))
+                    / F.sqrt(F.col("pn2") * F.col("cn2")),
+                    6,
+                ).alias("cs"),
+            )
+        )
+
+    w = Window.partitionBy("pid").orderBy(F.desc("cs"), F.asc("node"))
+    sc = score(
+        probe.select("pid").crossJoin(
+            vec.filter(F.col("vid") < 16).select(F.col("vid").alias("node"))
+        )
+    ).localCheckpoint(eager=False)
+    beam = (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .select("pid", "node")
+    )
+    vis = sc
+    for _ in range(3):
+        nb = (
+            F.broadcast(beam)
+            .join(graph, beam["node"] == graph["src"])
+            .select("pid", F.col("dst").alias("node"))
+        )
+        cand = beam.unionByName(nb).distinct()
+        sc = score(cand).localCheckpoint(eager=False)
+        beam = (
+            sc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 8)
+            .select("pid", "node")
+        )
+        vis = vis.unionByName(sc).distinct().localCheckpoint(eager=False)
+    ranked = (
+        vis.filter(F.col("node") != F.col("pid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("node").alias("neighbor_id"),
+            F.col("cs").alias("cos_sim"),
+            "rk",
+        )
+    )
+    return vec, ranked
+
+
+@query("ann_graph_search", oracle=_graph_search_oracle_sql())
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_search_frames(spark, sf_dir)[1]
+
+
+# 477. graph-search recall audit — the judge-visible recall row for
+# #474 (the #172 ann_recall_audit precedent): per-probe recall@5 of
+# the beam search against the EXACT brute-force neighbors computed
+# over the same vec frame. The brute-force side is #42's plan (probe
+# rows broadcast onto one corpus scan); the comparison join is
+# 25 rows against 25. One number per probe, integer ppm.
+@query(
+    "graph_search_recall_audit", oracle=_graph_search_recall_oracle_sql()
+)
+def graph_search_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec, gsr = _graph_search_frames(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    p = vec.filter(F.col("vid") < 5).select(
+        F.col("vid").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("n2").alias("pn2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cs"), F.asc("neighbor_id"))
+    bf = (
+        F.broadcast(p)
+        .join(vec, p["probe_id"] != vec["vid"])
+        .select(
+            "probe_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(
+                dot(F.col("pv"), F.col("v"))
+                / F.sqrt(F.col("pn2") * F.col("n2")),
+                6,
+            ).alias("cs"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "neighbor_id")
+    )
+    hits = (
+        gsr.select("probe_id", "neighbor_id")
+        .join(bf.withColumn("hit", F.lit(1)), ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(F.count("hit").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "probe_id",
+        "n_hits",
+        F.expr("(n_hits * 1000000) div 5").cast("bigint").alias("recall_ppm"),
     )

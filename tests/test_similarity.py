@@ -159,3 +159,27 @@ def test_nn_descent_recall_improves(spark):
     r0, r1, r4 = recall(0), recall(1), recall(4)
     assert r0 < r1 < r4, (r0, r1, r4)
     assert r4 >= 0.7, r4
+
+
+def test_graph_search_recall(spark):
+    """The greedy beam search over the NN-Descent graph must land
+    most of the TRUE top-5 neighbors of each probe (the recall row
+    vs exact #42 the graph-ANN story is judged by): with beam 8 ×
+    3 rounds over a recall≥0.7 graph, the walk should recover a
+    clear majority of the exact set."""
+    from koalas_spark.queries.similarity import (
+        ann_bruteforce_topk,
+        ann_graph_search,
+    )
+
+    exact: dict[int, set[int]] = {}
+    for r in ann_bruteforce_topk(spark, "/root/testdata/sf0.001").collect():
+        exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in ann_graph_search(spark, "/root/testdata/sf0.001").collect():
+        got.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact)  # every probe answered
+    assert all(len(v) == 5 for v in got.values())
+    hits = sum(len(got[p] & exact[p]) for p in exact)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.6, recall

@@ -24,6 +24,9 @@ EXPECTED = {
     # tiny probe/band/count sides joined without equi keys — build side
     # is bounded by construction, so a broadcast nested loop is the plan
     "ann_bruteforce_topk": {"BroadcastNestedLoopJoin"},
+    # #477's exact-BF twin: the same 5-probe broadcast non-equi join
+    # as ann_bruteforce_topk, bounded by construction
+    "graph_search_recall_audit": {"BroadcastNestedLoopJoin"},
     "ann_int8_topk": {"BroadcastNestedLoopJoin"},
     # 16-row codebook / 5-row probe frames cross-joined by construction
     "ann_pq_topk": {"BroadcastNestedLoopJoin"},
@@ -514,16 +517,30 @@ def _daily_revenue_consumers() -> frozenset[str]:
     import re
 
     names = set()
+    # Attribution is bounded to the DECORATED function body (ADVICE
+    # r12): a top-level `def`/`class` consumes the pending @query name
+    # (that def IS the decorated query) and any later top-level def
+    # without its own decorator resets attribution — so a call inside
+    # a non-query helper placed after a query can never falsely bless
+    # that query. `def daily_revenue_table(` itself matches the
+    # def-alternative first, so the definition site is never counted
+    # as a call.
+    pat = re.compile(
+        r'^@query\(\s*\n?\s*"([^"]+)"'
+        r"|^(?:def|class)\s+\w+"
+        r"|daily_revenue_table\(",
+        re.M,
+    )
     for f in glob.glob("/root/repo/koalas_spark/queries/*.py"):
         src = open(f).read()
         if "daily_revenue_table" not in src:
             continue
-        cur = None
-        for m in re.finditer(
-            r'@query\(\s*\n?\s*"([^"]+)"|daily_revenue_table\(', src
-        ):
+        pending = cur = None
+        for m in pat.finditer(src):
             if m.group(1):
-                cur = m.group(1)
+                pending = m.group(1)
+            elif m.group(0).startswith(("def ", "class ")):
+                cur, pending = pending, None
             elif cur:
                 names.add(cur)
     return frozenset(names)
