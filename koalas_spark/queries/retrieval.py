@@ -471,11 +471,14 @@ lnano AS (
          CAST(FLOOR(LN(CAST(dl + 2000 AS DOUBLE) / 2000.0)
                     * 1000000000 + 0.5) AS BIGINT) AS lnn
   FROM dl),
+nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nt
+       FROM q GROUP BY query_id),
 sc AS (
   SELECT q.query_id, tnano.doc_id,
          CAST(SUM(tnano.nano) AS BIGINT)
-           - 3 * MAX(lnano.lnn) AS ql_nano
+           - MAX(nt.nt) * MAX(lnano.lnn) AS ql_nano
   FROM tnano JOIN q USING (term)
+             JOIN nt ON nt.query_id = q.query_id
              JOIN lnano ON lnano.doc_id = tnano.doc_id
   GROUP BY q.query_id, tnano.doc_id)
 SELECT query_id, doc_id, ql_nano, rk FROM (
@@ -531,14 +534,22 @@ def query_likelihood_dirichlet(
         .cast("bigint")
         .alias("lnn"),
     )
+    # |q| is derived per query from the q frame (ADVICE r12: a
+    # hardcoded 3 would silently deviate if _QUERIES ever gains a
+    # query with a different term count — both engines would agree,
+    # so only this derivation keeps the documented Dirichlet model)
+    nt = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
     sc = (
         tnano.join(F.broadcast(q), "term")
+        .join(F.broadcast(nt), "query_id")
         .join(lnano, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(
             (
                 F.sum("nano").cast("bigint")
-                - F.lit(3) * F.max("lnn")
+                - F.max("nt") * F.max("lnn")
             )
             .cast("bigint")
             .alias("ql_nano")
@@ -852,6 +863,429 @@ def bpe_learn_merges(
 
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, freq bigint"
+    )
+
+
+# --------------------------------------------------------------------
+# 475. unigram-LM tokenizer trainer — the SentencePiece-style EM
+# complement to #177's BPE merge learning (Kudo 2018, hard-EM /
+# Viterbi variant): seed a subword vocabulary from the top weighted
+# substrings, then alternate (E) Viterbi-segment every word under the
+# current piece log-probabilities and (M) re-estimate piece counts
+# from the segmentations, pruning to the best pieces by exact integer
+# count. Scale shape: the CORPUS contributes exactly one map-side-
+# combined (word, freq) aggregate — every later stage (substring
+# enumeration, DP, counts) runs on the vocabulary table, which is
+# corpus-INDEPENDENT in size (|V| ~ 30k words even at web scale vs 31
+# here), the same argument as #177. Driver state per round is the
+# ≤ ~50-row (piece, nano) table — the k-means-centroid precedent —
+# broadcast back as a map literal into the DP expression.
+#
+# Determinism (#221 discipline): piece log-probs are nano-quantized
+# integers (FLOOR(LN(cnt/total)*1e9+0.5) — cnt/total are exact ints,
+# one identical double expression per value), so every Viterbi score
+# is an exact integer sum; the DP tie-break is the lexicographic min
+# of [-score, piece_len] (highest score, then shortest piece) and
+# vocabulary pruning orders by (cnt DESC, piece ASC) — the whole
+# training run is engine-reproducible, and the oracle replays seed +
+# both EM rounds as program-generated MATERIALIZED CTEs (the
+# _bpe_oracle_sql pattern; the DP unrolls one CTE per position with
+# correlated vocab lookups, the backtrace one column per step).
+# Words are capped at UNI_MAXW chars (truncate-and-merge, mirrored in
+# both engines; the corpus max is 8).
+UNI_MAXW = 10  # DP positions (corpus max word length is 8)
+UNI_PLEN = 4  # max piece length
+UNI_MULTI = 24  # multi-char pieces kept per prune
+UNI_ROUNDS = 2  # EM rounds
+_UNI_NEG = -(10**15)  # not-in-vocab sentinel (sums stay in int64)
+
+
+def _uni_oracle_sql(
+    maxw: int = UNI_MAXW,
+    plen: int = UNI_PLEN,
+    multi: int = UNI_MULTI,
+    rounds: int = UNI_ROUNDS,
+    fertility: bool = False,
+) -> str:
+    neg = _UNI_NEG
+
+    def nano(cnt: str, total: str) -> str:
+        return (
+            f"CAST(FLOOR(LN(CAST({cnt} AS DOUBLE) / CAST({total} AS DOUBLE))"
+            f" * 1000000000 + 0.5) AS BIGINT)"
+        )
+
+    ctes = [
+        """w AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+        FROM documents) t
+  GROUP BY word)""",
+        f"""wt AS MATERIALIZED (
+  SELECT substring(word, 1, {maxw}) AS word, CAST(SUM(freq) AS BIGINT) AS freq
+  FROM w GROUP BY 1)""",
+        f"""sub AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT substr(word, CAST(j.j AS INT), CAST(l.l AS INT)) AS piece, freq
+    FROM wt, unnest(range(1, {maxw + 1})) j(j), unnest(range(1, {plen + 1})) l(l)
+    WHERE j.j + l.l - 1 <= LEN(word)) z
+  GROUP BY piece)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM sub WHERE LEN(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM sub WHERE LEN(piece) > 1
+    ORDER BY cnt DESC, piece ASC LIMIT {multi}) m)""",
+        "p0 AS MATERIALIZED (SELECT piece, "
+        + nano("cnt", "(SELECT SUM(cnt) FROM v0)")
+        + " AS nano FROM v0)",
+    ]
+    def dp_round(r: int, pv: str) -> None:
+        """Append the Viterbi E-step CTEs for round r under vocab
+        probabilities {pv}: d{r}_0..d{r}_maxw (forward DP) + bt{r}
+        (backtrace with one piece/pos column per step)."""
+        prev = f"d{r}_0"
+        ctes.append(
+            f"{prev} AS MATERIALIZED (SELECT word, freq, LEN(word) AS n,"
+            f" CAST(0 AS BIGINT) AS dp0 FROM wt)"
+        )
+        for j in range(1, maxw + 1):
+            cands = []
+            for l in range(1, min(plen, j) + 1):
+                look = (
+                    f"COALESCE((SELECT nano FROM {pv} WHERE piece ="
+                    f" substr(d.word, {j - l + 1}, {l})), {neg})"
+                )
+                cands.append(
+                    f"[-(d.dp{j - l} + {look}), CAST({l} AS BIGINT)]"
+                )
+            best = f"list_sort([{', '.join(cands)}])[1]"
+            cur = f"d{r}_{j}"
+            # the helper column gets a per-position name and is
+            # EXCLUDEd from propagation — a bare `best` reused across
+            # CTEs silently binds to the FIRST duplicate in d.*
+            ctes.append(
+                f"{cur} AS MATERIALIZED (\n"
+                f"  SELECT d.* EXCLUDE (best{j}),"
+                f" -best{j}[1] AS dp{j}, best{j}[2] AS bp{j}\n"
+                f"  FROM (SELECT d.*, {best} AS best{j} FROM {prev} d) d)"
+            )
+            prev = cur
+        # backtrace: pos walks down from n, one column per step
+        bp_list = "[" + ", ".join(f"bp{j}" for j in range(1, maxw + 1)) + "]"
+        q = f"SELECT word, freq, {bp_list} AS bp, n AS pos0 FROM {prev}"
+        for t in range(1, maxw + 1):
+            q = (
+                "SELECT *,\n"
+                f"  CASE WHEN pos{t - 1} >= 1 THEN substr(word,"
+                f" CAST(pos{t - 1} - bp[CAST(pos{t - 1} AS INT)] + 1 AS INT),"
+                f" CAST(bp[CAST(pos{t - 1} AS INT)] AS INT)) END AS piece{t},\n"
+                f"  CASE WHEN pos{t - 1} >= 1"
+                f" THEN pos{t - 1} - bp[CAST(pos{t - 1} AS INT)]"
+                f" ELSE CAST(0 AS BIGINT) END AS pos{t}\n"
+                f"FROM ({q}) s{t}"
+            )
+        ctes.append(f"bt{r} AS MATERIALIZED ({q})")
+
+    for r in range(1, rounds + 1):
+        dp_round(r, f"p{r - 1}")
+        piece_list = "[" + ", ".join(
+            f"piece{t}" for t in range(1, maxw + 1)
+        ) + "]"
+        ctes.append(
+            f"c{r} AS MATERIALIZED (\n"
+            f"  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (\n"
+            f"    SELECT unnest({piece_list}) AS piece, freq FROM bt{r}) z\n"
+            f"  WHERE piece IS NOT NULL GROUP BY piece)"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (\n"
+            f"  SELECT s.piece, COALESCE(c.cnt, CAST(1 AS BIGINT)) AS cnt\n"
+            f"  FROM (SELECT DISTINCT piece FROM sub WHERE LEN(piece) = 1) s\n"
+            f"  LEFT JOIN c{r} c USING (piece)\n"
+            f"  UNION ALL\n"
+            f"  SELECT piece, cnt FROM (\n"
+            f"    SELECT piece, cnt FROM c{r} WHERE LEN(piece) > 1\n"
+            f"    ORDER BY cnt DESC, piece ASC LIMIT {multi}) m)"
+        )
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT piece, "
+            + nano("cnt", f"(SELECT SUM(cnt) FROM v{r})")
+            + f" AS nano FROM v{r})"
+        )
+    if not fertility:
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + f"\nSELECT v.piece, v.cnt, p.nano AS prob_nano"
+            f" FROM v{rounds} v JOIN p{rounds} p USING (piece)"
+        )
+    # apply pass: one more Viterbi round under the FINAL vocab, then
+    # the per-lang fertility rollup (the #164 comparison row)
+    dp_round(rounds + 1, f"p{rounds}")
+    piece_list = "[" + ", ".join(
+        f"piece{t}" for t in range(1, maxw + 1)
+    ) + "]"
+    ctes.append(
+        f"""wl AS MATERIALIZED (
+  SELECT lang, substring(word, 1, {maxw}) AS word,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT lang, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+        FROM documents) t
+  GROUP BY 1, 2)"""
+    )
+    ctes.append(
+        f"np AS MATERIALIZED (\n"
+        f"  SELECT word, CAST(LEN(list_filter({piece_list},"
+        f" x -> x IS NOT NULL)) AS BIGINT) AS n_pieces\n"
+        f"  FROM bt{rounds + 1})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT lang,
+       CAST(SUM(freq) AS BIGINT) AS sum_words,
+       CAST(SUM(freq * n_pieces) AS BIGINT) AS sum_pieces,
+       CAST((SUM(freq * n_pieces) * 1000000) // SUM(freq) AS BIGINT)
+         AS fertility_ppm
+FROM wl JOIN np USING (word)
+GROUP BY lang"""
+    )
+
+
+def _uni_viterbi_pieces(vmap, maxw: int = UNI_MAXW, plen: int = UNI_PLEN):
+    """Viterbi segmentation of the `word` column under the broadcast
+    (piece -> nano log-prob) map literal, as ONE linear-size fold
+    expression (no per-position withColumn chain — CollapseProject
+    would re-expand a nested DP tree 4^maxw ways): the forward pass
+    folds positions 1..maxw accumulating array<struct<dp,bp>>, the
+    backtrace folds maxw steps walking pos down by bp[pos]. Returns a
+    Column: the array of segment pieces (order irrelevant — the
+    consumer counts them)."""
+    worst = F.struct(
+        F.lit(2**62).cast("bigint").alias("negs"),
+        F.lit(9).cast("bigint").alias("l"),
+    )
+
+    def step(acc, j):
+        cands = []
+        for l in range(1, plen + 1):
+            piece = F.col("word").substr(j - F.lit(l) + 1, F.lit(l))
+            sc = F.element_at(acc, j - F.lit(l) + 1)["dp"] + F.coalesce(
+                F.try_element_at(vmap, piece), F.lit(_UNI_NEG).cast("bigint")
+            )
+            cands.append(
+                F.when(
+                    j >= F.lit(l),
+                    F.struct(
+                        (-sc).cast("bigint").alias("negs"),
+                        F.lit(l).cast("bigint").alias("l"),
+                    ),
+                ).otherwise(worst)
+            )
+        best = F.array_min(F.array(*cands))
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    (-best["negs"]).cast("bigint").alias("dp"),
+                    best["l"].alias("bp"),
+                )
+            ),
+        )
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("bigint").alias("dp"),
+            F.lit(0).cast("bigint").alias("bp"),
+        )
+    )
+    dpbp = F.aggregate(F.sequence(F.lit(1), F.lit(maxw)), init, step)
+    bp_arr = F.transform(F.slice(dpbp, 2, maxw), lambda x: x["bp"])
+
+    def back(st, _):
+        bp = F.element_at(bp_arr, st["pos"].cast("int"))
+        return F.when(
+            st["pos"] >= 1,
+            F.struct(
+                (st["pos"] - bp).alias("pos"),
+                F.concat(
+                    st["pieces"],
+                    F.array(
+                        F.col("word").substr(
+                            (st["pos"] - bp + 1).cast("int"), bp.cast("int")
+                        )
+                    ),
+                ).alias("pieces"),
+            ),
+        ).otherwise(st)
+
+    binit = F.struct(
+        F.length("word").cast("bigint").alias("pos"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(maxw)), binit, back
+    )["pieces"]
+
+
+def _uni_train(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = UNI_ROUNDS,
+    final_segment: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the trainer; returns (final vocab frame with (piece, cnt,
+    prob_nano), segmentation frame (word, freq, pieces)). The
+    segmentation is the last E-step's by default (feeds the fertility
+    sanity test); with ``final_segment`` it is ONE extra Viterbi pass
+    under the FINAL vocab probabilities (the apply path #476
+    consumes)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wt = (
+        w.select(F.substring("word", 1, UNI_MAXW).alias("word"), "freq")
+        .groupBy("word")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+        .repartition(4)
+        .localCheckpoint(eager=False)
+    )
+    # seed substring counts: every (position, length<=PLEN) slice of
+    # every vocabulary word, weighted by corpus frequency
+    slices = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda j: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNI_PLEN), F.length("word") - j + 1),
+                ),
+                lambda l: F.col("word").substr(j.cast("int"), l.cast("int")),
+            ),
+        )
+    )
+    sub = (
+        wt.select(F.explode(slices).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    chars = sub.filter(F.length("piece") == 1).select("piece")
+    vocab = sub.filter(F.length("piece") == 1).unionByName(
+        sub.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNI_MULTI)
+    )
+    seg = None
+    for _ in range(rounds):
+        rows = vocab.collect()  # <= ~50 rows of driver state, by design
+        total = sum(r["cnt"] for r in rows)
+        nano_col = (
+            F.floor(
+                F.log(F.col("cnt").cast("double") / F.lit(total).cast("double"))
+                * 1000000000
+                + 0.5
+            )
+        ).cast("bigint")
+        nrows = vocab.select("piece", nano_col.alias("nano")).collect()
+        vmap = F.create_map(
+            *[F.lit(x) for r in nrows for x in (r["piece"], r["nano"])]
+        )
+        seg = wt.select(
+            "word", "freq", _uni_viterbi_pieces(vmap).alias("pieces")
+        ).localCheckpoint(eager=False)
+        counts = (
+            seg.select(F.explode("pieces").alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+        vocab = (
+            chars.join(counts, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce(F.col("cnt"), F.lit(1).cast("bigint")).alias("cnt"),
+            )
+            .unionByName(
+                counts.filter(F.length("piece") > 1)
+                .orderBy(F.desc("cnt"), F.asc("piece"))
+                .limit(UNI_MULTI)
+            )
+        )
+    rows = vocab.collect()
+    total = sum(r["cnt"] for r in rows)
+    final = vocab.select(
+        "piece",
+        "cnt",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.lit(total).cast("double"))
+            * 1000000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("prob_nano"),
+    ).localCheckpoint(eager=False)
+    if final_segment:
+        nrows = final.select("piece", "prob_nano").collect()
+        vmap = F.create_map(
+            *[F.lit(x) for r in nrows for x in (r["piece"], r["prob_nano"])]
+        )
+        seg = wt.select(
+            "word", "freq", _uni_viterbi_pieces(vmap).alias("pieces")
+        ).localCheckpoint(eager=False)
+    return final, seg
+
+
+@query("unigram_lm_train", oracle=_uni_oracle_sql())
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final, _ = _uni_train(spark, sf_dir)
+    return final
+
+
+# --------------------------------------------------------------------
+# 476. unigram-tokenizer fertility by language — the APPLY path that
+# closes the #475 training loop and lands the comparison row next to
+# #164 (same output shape: lang, sum_words, sum_pieces,
+# fertility_ppm, so the two tokenizers read side-by-side): segment
+# every vocabulary word ONCE under the final trained vocab (one extra
+# Viterbi pass — the fold expression of #475), then roll corpus
+# fertility up per language. The corpus contributes exactly one
+# (lang, word) map-side-combined aggregate; the ≤|V|-row
+# (word, n_pieces) table broadcasts onto it — at 100 TB this is one
+# scan + one broadcast-hash join, no vocab-sized shuffle. Words ride
+# the same UNI_MAXW truncation as training (both engines).
+@query(
+    "unigram_fertility_by_lang", oracle=_uni_oracle_sql(fertility=True)
+)
+def unigram_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seg = _uni_train(spark, sf_dir, final_segment=True)
+    np = seg.select(
+        "word", F.size("pieces").cast("bigint").alias("n_pieces")
+    )
+    d = _t(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .select("lang", F.substring("word", 1, UNI_MAXW).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return (
+        wl.join(F.broadcast(np), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("sum_words"),
+            F.sum(F.col("freq") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("sum_pieces"),
+            F.expr("(sum(freq * n_pieces) * 1000000) div sum(freq)")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
     )
 
 

@@ -401,3 +401,32 @@ def test_mixture_weight_solver_invariants(spark):
         assert r["eff_langs_milli"] >= 1000  # >= 1 effective language
         assert r["score"] >= 1
         assert r["w10"] >= 0
+
+
+def test_unigram_lm_fertility_vs_bpe_regex(spark):
+    """#475's fertility comparison row vs #164 (tokenizer_fertility):
+    the trained unigram tokenizer must be a real SUBWORD model —
+    fertility (pieces per word) strictly above 1 (not whole words)
+    and strictly below the mean word length in chars (better than
+    char-splitting) — and its segmentations must reassemble the words
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from koalas_spark.queries.retrieval import _uni_train
+    from tests.conftest import SF_SMOKE
+
+    _, seg = _uni_train(spark, SF_SMOKE)
+    row = seg.agg(
+        F.sum(F.col("freq") * F.size("pieces")).alias("pieces"),
+        F.sum("freq").alias("words"),
+        F.sum(F.col("freq") * F.length("word")).alias("chars"),
+    ).first()
+    fert = row["pieces"] / row["words"]
+    char_fert = row["chars"] / row["words"]
+    assert 1.0 < fert < char_fert, (fert, char_fert)
+    # lossless: pieces concatenate back to the word, in reverse
+    # backtrace order (the walk collects suffix-first)
+    bad = seg.filter(
+        F.concat_ws("", F.reverse("pieces")) != F.col("word")
+    ).count()
+    assert bad == 0
