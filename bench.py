@@ -374,7 +374,31 @@ HEADLINE = [
     "price_elasticity_brands",
     "null_skew_join_split",
     "multimodal_audio_pitch",
+    # round-12 retrieval-eval completion (VERDICT r12 #2: the two r12
+    # ops that had no per-round wall trail) + round-13 additions
+    "mrr_full_match",
+    "precision_recall_at_k",
+    "fuzzy_match_topk",
+    "ann_graph_search",
+    "unigram_lm_train",
+    "unigram_fertility_by_lang",
 ]
+
+# HEADLINE-exclusion rule (written down per VERDICT r12 #2): the
+# registry entries NOT benched here are, by class, (a) streaming ops
+# that execute at construction against a staged micro-lake — their
+# wall is fixture-dominated, not plan-dominated (they ride the oracle
+# gate; stream_checkpoint_restart is the deliberate exception because
+# the restart path itself is the cost surface); (b) §2.1 parity
+# micro-ops (head/select/filter on one table — sub-100ms scans that
+# measure JVM overhead, not plans); (c) near-duplicate variants of a
+# benched op where the plan shape is identical and only a parameter
+# differs (e.g. the _ps partsupp re-statements of benched TPC-H
+# queries, hilbert vs zorder); (d) tests-only §2.1 surfaces
+# (write_csv/append_rows/shape_len_cols — exercised in pytest, no
+# registered query to time). Everything with a NOVEL plan shape
+# belongs in HEADLINE; when adding an op, add it here unless one of
+# (a)-(d) applies.
 
 
 def _measure(spark, queries, name: str, sf_dir: str) -> float:
@@ -455,9 +479,11 @@ def emit(result: dict) -> str:
     key length, so the full set rides as `qsec_cs` — an array of
     integer CENTISECONDS, one per query, in the exact order of the
     name list this function writes to BENCH_KEYS.json (committed; also
-    mirrored in BENCH_local.json's full-precision map). queries_omitted
-    is therefore 0: zip(BENCH_KEYS.json, qsec_cs) reconstructs every
-    timing to 10 ms. The spec's `queries` object is kept for the
+    mirrored in BENCH_local.json's full-precision map);
+    zip(BENCH_KEYS.json, qsec_cs) reconstructs every timing to 10 ms.
+    `queries_omitted` counts the entries that did NOT fit in the
+    spec-shape `queries` object on the stdout line (they are still
+    fully recoverable from qsec_cs). The spec's `queries` object is kept for the
     slowest tail (the actionable entries), greedily sized to whatever
     fits the remaining line budget."""
     here = os.path.dirname(os.path.abspath(__file__))

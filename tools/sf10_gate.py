@@ -82,9 +82,27 @@ def _run_one(name: str, sf_dir: str) -> int:
     return 0
 
 
+# Always-on gate rows regardless of where they rank in the bench map
+# (VERDICT r12 #6): the retrieval-eval family's (query, term, doc)
+# shuffle is the one plan shape whose regressions the wall-clock
+# top-N would miss (each op is a few seconds at sf0.1), plus the
+# round-13 additions whose first sf10 rows the gate should pin.
+DEFAULT_OPS = [
+    "maxsim_late_interaction",
+    "ndcg_at_10_eval",
+    "mrr_full_match",
+    "precision_recall_at_k",
+    "query_likelihood_dirichlet",
+    "fuzzy_match_topk",
+    "ann_graph_search",
+    "unigram_lm_train",
+    "unigram_fertility_by_lang",
+]
+
+
 def main(argv: list[str]) -> int:
     sf_dir = "/root/repo/.tmp/sf10"
-    ops: list[str] = []
+    ops: list[str] = list(DEFAULT_OPS)
     top_n = 20
     one: str | None = None
     for a in argv:
@@ -118,12 +136,22 @@ def main(argv: list[str]) -> int:
 
     def _spawn(op: str) -> tuple[bool, float, str]:
         t0 = time.time()
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), sf_dir, f"--one={op}"],
-            capture_output=True,
-            text=True,
-            timeout=7200,
-        )
+        try:
+            p = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    sf_dir,
+                    f"--one={op}",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=7200,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung op is that op's FAIL, not the whole grid's crash
+            # (ADVICE r12): record it and keep every other row
+            return (False, time.time() - t0, "timeout after 7200s")
         wall = time.time() - t0
         # prefer the child's query-only stamp (excludes JVM startup)
         for ln in (p.stdout or "").splitlines():
