@@ -382,6 +382,8 @@ HEADLINE = [
     "ann_graph_search",
     "unigram_lm_train",
     "unigram_fertility_by_lang",
+    "dsir_importance_resample",
+    "jl_projection_norms",
 ]
 
 # HEADLINE-exclusion rule (written down per VERDICT r12 #2): the

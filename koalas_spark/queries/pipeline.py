@@ -1194,3 +1194,197 @@ def mixture_weight_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w10"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------
+# 478. DSIR importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling") — the standard
+# target-domain data-selection step of an LLM pretraining pipeline:
+# fit two hashed-bigram bag-of-ngrams models (target = the 'en'
+# slice, raw = the whole corpus), score every doc with the summed
+# log-likelihood ratio, and draw a 100-doc sample WITHOUT replacement
+# by Gumbel-top-k over the log weights (exactly the paper's sampler;
+# Gumbel keys avoid exp() so the weights never leave log space).
+# Determinism: 256 md5-prefix feature buckets, add-one smoothing over
+# the fixed 256-bucket domain, #221 nano-ln quantization of both
+# model log-probs (so doc scores are BIGINT sums of identical
+# integers in both engines), and the repo-wide md5-coin rule for the
+# per-doc Gumbel draw — floor-quantized, added to the integer weight.
+# Scale shape: the corpus contributes ONE (doc, bucket) map-side-
+# combined aggregate (post-shuffle rows <= |docs| x 256) from which
+# BOTH 256-row models and the per-doc scores derive; the model join
+# is a 256-row broadcast; selection is TakeOrdered O(k) — no global
+# sort, no second corpus pass. At 100 TB nothing here exceeds one
+# shuffle of bounded (doc, bucket) partials.
+@query(
+    "dsir_importance_resample",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, lang, string_split_regex(TRIM(text), '\\s+') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang,
+         substr(md5(t[i] || ' ' || t[i + 1]), 1, 2) AS bucket
+  FROM tk, unnest(range(1, GREATEST(LEN(t), 1))) AS u(i)),
+dbc AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY 1, 2),
+rawc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+tgtc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM bg WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tt,
+         CAST(COUNT(*) AS BIGINT) AS tr
+  FROM bg),
+model AS (
+  SELECT r.bucket,
+         CAST(FLOOR(LN((COALESCE(t.ct, 0) + 1.0) / (tot.tt + 256))
+                    * 1000000000) AS BIGINT)
+         - CAST(FLOOR(LN((r.cr + 1.0) / (tot.tr + 256))
+                      * 1000000000) AS BIGINT) AS delta_nano
+  FROM rawc r LEFT JOIN tgtc t ON t.bucket = r.bucket CROSS JOIN tot),
+w AS (
+  SELECT dbc.doc_id,
+         CAST(SUM(dbc.c * m.delta_nano) AS BIGINT) AS logw_nano
+  FROM dbc JOIN model m ON m.bucket = dbc.bucket GROUP BY 1),
+k AS (
+  SELECT d.doc_id, d.lang,
+         CAST(COALESCE(w.logw_nano, 0) AS BIGINT) AS logw_nano,
+         CAST(('0x' || substr(md5('dsir:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS u
+  FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id)
+SELECT doc_id, lang, logw_nano,
+       CAST(logw_nano
+            - CAST(FLOOR(LN(-LN((2 * u + 1) / 8589934592.0))
+                         * 1000000000) AS BIGINT) AS BIGINT) AS key_q
+FROM k ORDER BY key_q DESC, doc_id LIMIT 100
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from koalas_spark.functions.textfn import tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tk = d.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    bg = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.substring(
+                        F.md5(
+                            F.concat(
+                                F.element_at("t", i),
+                                F.lit(" "),
+                                F.element_at("t", i + 1),
+                            )
+                        ),
+                        1,
+                        2,
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bucket"),
+    )
+    dbc = bg.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rawc = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr")
+    )
+    tgtc = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )
+    tot = bg.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("tt"),
+        F.count(F.lit(1)).cast("bigint").alias("tr"),
+    )
+    nano = F.lit(1000000000)
+    model = (
+        rawc.join(tgtc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tt") + 256)
+                    )
+                    * nano
+                ).cast("bigint")
+                - F.floor(
+                    F.log(
+                        (F.col("cr") + F.lit(1.0)) / (F.col("tr") + 256)
+                    )
+                    * nano
+                ).cast("bigint")
+            ).alias("delta_nano"),
+        )
+    )
+    w = (
+        dbc.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("delta_nano"))
+            .cast("bigint")
+            .alias("logw_nano")
+        )
+    )
+    k = (
+        d.select("doc_id", "lang")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("logw_nano", F.lit(0))
+            .cast("bigint")
+            .alias("logw_nano"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("dsir:"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    return (
+        k.select(
+            "doc_id",
+            "lang",
+            "logw_nano",
+            (
+                F.col("logw_nano")
+                - F.floor(
+                    F.log(
+                        -F.log(
+                            (2 * F.col("u") + 1) / F.lit(8589934592.0)
+                        )
+                    )
+                    * nano
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("key_q"),
+        )
+        .orderBy(F.col("key_q").desc(), F.col("doc_id"))
+        .limit(100)
+    )

@@ -782,3 +782,117 @@ def graph_search_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.expr("(n_hits * 1000000) div 5").cast("bigint").alias("recall_ppm"),
     )
+
+
+# --------------------------------------------------------------------
+# 479. Johnson-Lindenstrauss random-projection audit — the dimension-
+# reduction step ahead of any large-scale ANN/clustering stack
+# (64 -> 16 dims with a Rademacher +-1 matrix, Achlioptas 2003), plus
+# the audit a pipeline actually ships: how well are norms preserved?
+# The sign matrix is MODEL state — 16x64 fixed +-1 literals derived
+# from the same Knuth multiplicative hash family as ann_lsh_topk's
+# hyperplanes (rows offset by 16 so the two families never share a
+# plane) and embedded identically in both engines, so there is no
+# per-row hashing in the hot path at all. Each vector contributes one
+# codegen-side pass: quantize to the 1e4 grid (integer-exact both
+# engines), 16 integer dot products, then ratio_ppm =
+# 1e6 * ||y||^2 / (16 * ||q||^2) through a DECIMAL(38)/HUGEINT
+# product (q <= 5.3k today; the decimal keeps the product exact even
+# if the generator widens the value range). Output is the corpus-wide
+# norm-distortion histogram in 0.1-wide ratio bins — a JL audit
+# should concentrate around 1.0 (bucket 10). Scale shape: ONE
+# corpus scan, all math inside whole-stage codegen, one bounded
+# (<=~30-row) aggregate — embarrassingly parallel at any corpus size.
+def _jl_signs(planes: int = 16, dim: int = 64) -> list[list[int]]:
+    return [
+        [
+            1
+            if ((((p + 16) * 4096 + d) * 2654435761) % 4294967296)
+            // 1048576
+            % 2
+            == 1
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def _jl_oracle_sql() -> str:
+    dots = ",\n           ".join(
+        "CAST(list_dot_product(qd, ["
+        + ", ".join(f"{s}.0" for s in row)
+        + "]) AS BIGINT)"
+        for row in _jl_signs()
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> FLOOR(x * 10000 + 0.5)) AS qd
+  FROM embeddings),
+y AS (
+  SELECT vec_id,
+         CAST(list_dot_product(qd, qd) AS BIGINT) AS den,
+         CAST(list_sum(list_transform(
+           [{dots}],
+           yy -> yy * yy)) AS BIGINT) AS num
+  FROM v),
+r AS (
+  SELECT vec_id,
+         CAST(CAST(num AS HUGEINT) * 1000000
+              // (16 * CAST(GREATEST(den, 1) AS HUGEINT)) AS BIGINT)
+           AS ratio_ppm
+  FROM y)
+SELECT CAST(ratio_ppm // 100000 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(ratio_ppm) AS min_ppm,
+       MAX(ratio_ppm) AS max_ppm
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("jl_projection_norms", oracle=_jl_oracle_sql())
+def jl_projection_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.withColumn(
+        "q",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(floor(x * 10000 + 0.5) as bigint))"
+        ),
+    )
+    yps = [
+        F.expr(
+            "aggregate(zip_with(q, array("
+            + ", ".join(str(s) for s in row)
+            + "), (x, s) -> x * s), cast(0 as bigint), (a, x) -> a + x)"
+        )
+        for row in _jl_signs()
+    ]
+    y = v.select(
+        F.expr(
+            "aggregate(q, cast(0 as bigint), (a, x) -> a + x * x)"
+        ).alias("den"),
+        F.array(*yps).alias("ys"),
+    ).select(
+        "den",
+        F.expr(
+            "aggregate(ys, cast(0 as bigint), (a, yy) -> a + yy * yy)"
+        ).alias("num"),
+    )
+    r = y.select(
+        F.expr(
+            "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 "
+            "div (16 * GREATEST(den, CAST(1 AS BIGINT))) AS BIGINT)"
+        ).alias("ratio_ppm")
+    )
+    return (
+        r.groupBy(F.expr("ratio_ppm div 100000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("ratio_ppm").alias("min_ppm"),
+            F.max("ratio_ppm").alias("max_ppm"),
+        )
+        .orderBy("bucket")
+    )

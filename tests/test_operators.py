@@ -430,3 +430,51 @@ def test_unigram_lm_fertility_vs_bpe_regex(spark):
         F.concat_ws("", F.reverse("pieces")) != F.col("word")
     ).count()
     assert bad == 0
+
+
+def test_dsir_sample_invariants(spark):
+    """#478 DSIR: the Gumbel-top-k sample is 100 docs, keys strictly
+    descending along the emitted order, and the sample is en-enriched
+    relative to the corpus (the whole point of importance resampling
+    toward an 'en' target)."""
+    from koalas_spark.queries.pipeline import dsir_importance_resample
+    from tests.conftest import SF_SMOKE
+
+    rows = dsir_importance_resample(spark, SF_SMOKE).collect()
+    assert len(rows) == 100
+    keys = [r["key_q"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    en_share = sum(1 for r in rows if r["lang"] == "en") / 100
+    assert en_share > 193 / 500  # corpus share at sf0.001
+    # importance weights of en docs dominate non-en on average
+    en_w = [r["logw_nano"] for r in rows if r["lang"] == "en"]
+    other_w = [r["logw_nano"] for r in rows if r["lang"] != "en"]
+    if en_w and other_w:
+        assert sum(en_w) / len(en_w) > sum(other_w) / len(other_w)
+
+
+def test_jl_projection_norm_unbiasedness(spark):
+    """#479 JL: the norm-ratio histogram covers every vector once,
+    buckets are consistent, and the projection is UNBIASED — the
+    mass-weighted mean ratio sits near 1.0. (Per-vector concentration
+    is deliberately weak at 16 projections over structured vectors —
+    reporting that honest distortion tail is the audit's job, so the
+    test pins the mean, not the spread.)"""
+    from koalas_spark.queries.analytics import _t
+    from koalas_spark.queries.similarity import jl_projection_norms
+    from tests.conftest import SF_SMOKE
+
+    rows = jl_projection_norms(spark, SF_SMOKE).collect()
+    n_vecs = _t(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 <= r["min_ppm"] <= r["max_ppm"]
+        assert r["bucket"] == r["min_ppm"] // 100000
+        assert r["bucket"] == r["max_ppm"] // 100000
+    # bucket-center mass-weighted mean ~ corpus mean ratio (0.97 at
+    # sf0.001); E[ratio] = 1 for Rademacher JL
+    mean_ppm = (
+        sum((r["bucket"] * 100000 + 50000) * r["n_vecs"] for r in rows)
+        / n_vecs
+    )
+    assert 700_000 < mean_ppm < 1_300_000, mean_ppm

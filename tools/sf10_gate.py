@@ -97,6 +97,8 @@ DEFAULT_OPS = [
     "ann_graph_search",
     "unigram_lm_train",
     "unigram_fertility_by_lang",
+    "dsir_importance_resample",
+    "jl_projection_norms",
 ]
 
 
