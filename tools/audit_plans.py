@@ -71,6 +71,8 @@ EXPECTED = {
     "join_cardinality_estimate_audit": {"BroadcastNestedLoopJoin"},
     # 1-row contingency-total frame + <=150-cell domain cross-join
     "quantity_return_mutual_info": {"BroadcastNestedLoopJoin"},
+    # 1-row corpus-totals frame cross-joined onto the 256-row model
+    "dsir_importance_resample": {"BroadcastNestedLoopJoin"},
     # 1-row tie-correction frame cross-joined onto the 1-row pivot
     "kruskal_wallis_quantity": {"BroadcastNestedLoopJoin", "GlobalWindow"},
     # 15-row lag dimension cross-joined onto the bounded day table
