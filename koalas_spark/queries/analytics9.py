@@ -195,15 +195,18 @@ FUZZY_BLOCK_LIMIT = 2_000
 # VERDICT r12 lead item): Σb(b-1)/2 candidate pairs under the chosen
 # blocking key — the same estimator blocking_key_workload_audit
 # (analytics55.py:281) publishes as a standing advisor. Measured
-# workloads: ~430M candidates at sf10 (395s wall, feasible here) and
-# ~43.5B at sf100 (an output-infeasible job this box could never
-# finish). The default 1e9 admits every SF the standing gates run and
-# refuses one decade later, BEFORE any quadratic stage launches.
+# refined-key workloads (DuckDB over the part snapshots): ~51M
+# candidates at sf1, ~5.1B at sf10 (395s wall in the r12 grid —
+# feasible here), ~510B at sf100 (candidates alone exceed what this
+# box could enumerate, and the match OUTPUT grows the same Θ(n²/V)
+# under the generator's fixed name vocabulary). The default 1e10
+# admits every SF the standing gates run and refuses one decade
+# later, BEFORE any quadratic stage launches.
 # Deployments with real clusters raise SPARK_GRAFT_FUZZY_WORKLOAD_MAX;
 # the bounded-output alternative is fuzzy_match_topk (top-k matches
 # per left row — the standard record-linkage contract at scale).
 FUZZY_WORKLOAD_MAX = int(
-    os.environ.get("SPARK_GRAFT_FUZZY_WORKLOAD_MAX", 1_000_000_000)
+    os.environ.get("SPARK_GRAFT_FUZZY_WORKLOAD_MAX", 10_000_000_000)
 )
 
 
