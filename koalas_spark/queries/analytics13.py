@@ -445,7 +445,13 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.queries.analytics import daily_revenue_table
 
     daily = daily_revenue_table(spark, sf_dir)
-    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    # fan the stream side over the cores: the artifact is one split,
+    # so without this the ~3M-pair slope sweep is a single
+    # BroadcastNestedLoopJoin task (guide §2.6). Slopes are exact
+    # integers, so the histogram is partitioning-independent.
+    a = daily.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("d").alias("da"), F.col("x").alias("xa")
+    )
     b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
     pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
         (F.col("db") - F.col("da")).alias("dd"),

@@ -307,7 +307,15 @@ def daily_revenue_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    a = win.select(
+    # the bounded-domain window legitimately runs single-partition,
+    # but the day² pair sweep it feeds must not: fan the STREAM side
+    # out over the cores (guide §2.6 — a 1-task BroadcastNestedLoop
+    # sweep leaves 31/32 cores idle at any scale; the domain is ~2.4k
+    # rows, so the respread shuffle is noise) and keep the probe side
+    # as the broadcast build. Integer SAD distances make the result
+    # partitioning-independent.
+    fan = spark.sparkContext.defaultParallelism
+    a = win.repartition(fan).select(
         F.col("d").alias("d_i"),
         F.col("rn").alias("rn_i"),
         F.col("arr").alias("arr_i"),
@@ -319,7 +327,7 @@ def daily_revenue_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arr").alias("arr_j"),
         F.col("s").alias("s_j"),
     )
-    pairs = a.join(b, F.col("rn_j") >= F.col("rn_i") + 7).select(
+    pairs = a.join(F.broadcast(b), F.col("rn_j") >= F.col("rn_i") + 7).select(
         "d_i",
         "d_j",
         F.aggregate(
@@ -400,7 +408,11 @@ def daily_revenue_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    a = win.select(
+    # same stream-side fan-out as #471: the day² nearest-neighbor
+    # sweep is 1 BNLJ task without it (guide §2.6); min() over integer
+    # SAD is partitioning-independent.
+    fan = spark.sparkContext.defaultParallelism
+    a = win.repartition(fan).select(
         F.col("d").alias("d_i"),
         F.col("rn").alias("rn_i"),
         F.col("arr").alias("arr_i"),
@@ -422,7 +434,7 @@ def daily_revenue_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("rn_j") >= F.col("rn_i") + 7)
             | (F.col("rn_j") <= F.col("rn_i") - 7),
         )
