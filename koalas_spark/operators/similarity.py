@@ -686,7 +686,17 @@ def nn_descent(
     vec = vectors.select(
         F.col(id_col).alias("vid"), v.alias("v")
     ).withColumn("n2", dot(F.col("v"), F.col("v")))
-    vec = vec.filter(F.col("n2") > 0).localCheckpoint(eager=False)
+    # key-spread the vector table before checkpointing: the source is
+    # typically one parquet split, and every scoring join downstream
+    # would otherwise stream on a single core. An explicit keyed
+    # repartition (not AQE-owned) keeps the exchange at cluster
+    # parallelism at any scale (guide §2.6).
+    fan = vectors.sparkSession.sparkContext.defaultParallelism
+    vec = (
+        vec.filter(F.col("n2") > 0)
+        .repartition(fan, "vid")
+        .localCheckpoint(eager=False)
+    )
 
     # init: union of THREE independently salted hash bucketings (each
     # bucket ~k/2 members). A single bucketing would hand every node a
@@ -719,8 +729,15 @@ def nn_descent(
     cand = per_salt[0].unionByName(per_salt[1]).unionByName(per_salt[2]).distinct()
 
     def top_k(cands: DataFrame) -> DataFrame:
+        # pin the candidate exchange at cluster parallelism: the
+        # rounded-cosine scoring is the compute wall of every round
+        # (two array dot products per candidate pair), and the frame's
+        # shuffle BYTES are small enough that AQE would coalesce it to
+        # one partition — a bytes-proxy that misprices compute-heavy
+        # rows (guide §2.2/§2.6). Keyed on src so the first equi-join
+        # reuses the exchange.
         scored = (
-            cands.join(
+            cands.repartition(fan, "src").join(
                 vec.select(F.col("vid").alias("src"), F.col("v").alias("sv"),
                            F.col("n2").alias("sn")),
                 "src",

@@ -278,7 +278,14 @@ FROM rk, full_m GROUP BY n, s1
 """,
 )
 def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "orders").select(
+    from koalas_spark.queries.analytics import _spread
+
+    # _spread: the 32-replica md5 coin flips (32 hashes per order) are
+    # the compute wall, and the single-row-group orders scan would run
+    # the whole crossJoin stream on one core (guide §2.6)
+    c = _spread(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ).select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * 100 + 0.5)
         .cast("bigint")
@@ -291,16 +298,22 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = spark.range(0, 32).select(
         F.col("id").cast("bigint").alias("b")
     )
-    w = c.crossJoin(F.broadcast(reps)).select(
-        "b",
-        F.expr(
-            _POIS_W.replace(
-                "h",
+    # materialize the md5 prefix ONCE per (order, replica) in its own
+    # projection: textually substituting it into the CASE would repeat
+    # the hash expression seven times and leave dedup to codegen
+    # subexpression elimination — computing it explicitly guarantees
+    # one hash per row at any scale (guide §1.2 per-task work)
+    w = (
+        c.crossJoin(F.broadcast(reps))
+        .select(
+            "b",
+            "c",
+            F.expr(
                 "substr(md5(CAST(k AS STRING) || ':'"
-                " || CAST(b AS STRING)), 1, 4)",
-            )
-        ).alias("w"),
-        "c",
+                " || CAST(b AS STRING)), 1, 4)"
+            ).alias("h"),
+        )
+        .select("b", F.expr(_POIS_W).alias("w"), "c")
     )
     bm = w.groupBy("b").agg(
         F.sum(F.expr("w * c")).cast("bigint").alias("s"),

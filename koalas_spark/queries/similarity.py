@@ -650,10 +650,14 @@ def _graph_search_frames(
         )
 
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # key-spread before checkpointing (the nn_descent discipline): the
+    # one-split embeddings scan would otherwise serialize every
+    # downstream scoring join on a single core.
     vec = (
         emb.select(F.col("vec_id").alias("vid"), v.alias("v"))
         .withColumn("n2", dot(F.col("v"), F.col("v")))
         .filter(F.col("n2") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "vid")
         .localCheckpoint(eager=False)
     )
     probe = vec.filter(F.col("vid") < 5).select(
