@@ -26,7 +26,29 @@ def get_spark(app_name: str = "koalas_spark", cpus: int | None = None) -> SparkS
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing merges post-shuffle partitions by BYTES
+        # (parallelismFirst honors minPartitionSize, default 1m). The
+        # engine's narrow-row shuffles (two-long graph edges, id+count
+        # aggregates) compress to a few MB while carrying millions of
+        # rows, so the default serialized whole hash aggregations onto
+        # 1-3 tasks (measured: every label-propagation round ran its
+        # 2.4M-row vote aggregate on <=3 of 32 cores). 64k keeps those
+        # compute-heavy-but-small-byte stages parallel; the env knob
+        # lets a real cluster raise it back toward the 1m default when
+        # shuffle-block count, not per-task compute, is the binding
+        # constraint (guide §2.2 vs §2.5).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size checks
+        # pass (guide §3.1/§9): the iterative graph rounds join a
+        # checkpointed multi-million-row edge frame against a |V|-sized
+        # label/degree frame every round, and sort-merge re-sorts the
+        # edge side per round for no benefit. Sort-merge remains the
+        # planner's fallback whenever the build side could not fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # 16g, NOT most-of-RAM: measured at sf0.1, a 48g heap made G1
         # pathological — lazy heap commit page-faulted in kernel mode
         # (97% sys CPU bursts) and rare giant mixed collections turned

@@ -186,8 +186,18 @@ def label_propagation_communities(
     d = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False, storageLevel=graph_ckpt_level(sf_dir))
-    labels = d.select(F.col("u").alias("x")).distinct().select(
-        "x", F.col("x").alias("lbl")
+    # Round 1 in closed form (optimization r13): with identity labels
+    # over a DISTINCT edge set, every (node, neighbor-label) vote has
+    # count exactly 1, so argmax((c DESC, l ASC)) degenerates to the
+    # MINIMUM neighbor id — one map-side-combined aggregate replaces
+    # the join + two vote shuffles of the generic round (and the
+    # init's |2E|-row distinct disappears with it). Rounds 2-4 run the
+    # generic vote loop unchanged; values are identical by the
+    # argument above (the oracle still replays all four rounds).
+    labels = (
+        d.groupBy(F.col("u").alias("x"))
+        .agg(F.min("v").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     # label rotation lifecycle (VERDICT r10 #2): each round's labels
     # checkpoint EAGERLY so the superseded round can be unpersisted
@@ -195,8 +205,8 @@ def label_propagation_communities(
     # rotation (198 MB at sf10) stays resident, and the per-call
     # symmetrized edge checkpoint is released after the final round
     # (the returned rollup reads labels only).
-    prev = None
-    for _ in range(4):
+    prev = labels
+    for _ in range(3):
         votes = (
             d.join(
                 labels.select(

@@ -88,15 +88,22 @@ def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False, storageLevel=lvl)
-    labels = d.select(F.col("u").alias("x")).distinct().select(
-        "x", F.col("x").alias("lbl")
+    # Round 1 in closed form (the #242 r13 optimization): identity
+    # labels over a distinct edge set make every vote count 1, so the
+    # argmax collapses to MIN(neighbor) — one aggregate instead of the
+    # generic join + two vote shuffles (values identical; the oracle
+    # replays both generic rounds).
+    labels = (
+        d.groupBy(F.col("u").alias("x"))
+        .agg(F.min("v").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     # LP rotation lifecycle (VERDICT r10 #2, the #242 discipline):
     # eager checkpoints + unpersist the superseded round. Unlike #242,
     # e/d/final labels all feed the returned modularity rollup, so
     # only the intermediate rotation is releasable here.
-    prev = None
-    for _ in range(2):
+    prev = labels
+    for _ in range(1):
         votes = (
             d.join(
                 labels.select(F.col("x").alias("nx"), F.col("lbl").alias("l")),
