@@ -274,13 +274,22 @@ def _fuzzy_blocked_part(
     Σb(b-1)/2 candidate workload under that key)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
     max_block, workload = _fuzzy_block_stats(p, ["p_size"])
+    # repartition by the blocking key before returning (r13): both
+    # fuzzy contracts self-join this frame ON that key, so a keyed
+    # respread makes the block join exchange-free on both sides AND
+    # keeps the Θ(workload) levenshtein sweep at cluster parallelism —
+    # the single-row-group part scan otherwise serialized it onto the
+    # few partitions AQE's bytes-based coalescing left (guide §2.4,
+    # §2.6). Values are join-key-partitioning-independent.
+    fan = spark.sparkContext.defaultParallelism
     if max_block > block_limit:
         fine = p.withColumn(
             "blk2", F.split(F.col("p_name"), " ").getItem(0)
         )
         _, workload = _fuzzy_block_stats(fine, ["p_size", "blk2"])
-        return fine, ["p_size", "blk2"], workload
-    return p, ["p_size"], workload
+        cols = ["p_size", "blk2"]
+        return fine.repartition(fan, *cols), cols, workload
+    return p.repartition(fan, "p_size"), ["p_size"], workload
 
 
 def fuzzy_match_parts_gated(
@@ -374,14 +383,28 @@ def fuzzy_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
         *[F.col(c) for c in cols],
     )
-    cand = (
+    # enumerate candidates in CANONICAL orientation (key_a < key_b)
+    # and mirror the survivors afterwards: levenshtein is symmetric,
+    # so this halves the edit-distance sweep — the op's compute wall —
+    # while producing the exact same symmetric candidate set (r13).
+    half = (
         a.join(b, cols)
         .filter(
-            (F.col("key_a") != F.col("key_b"))
+            (F.col("key_a") < F.col("key_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= 3)
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .filter((F.col("dist") <= 3) & (F.col("name_a") != F.col("name_b")))
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+    cand = half.unionByName(
+        half.select(
+            F.col("key_b").alias("key_a"),
+            F.col("key_a").alias("key_b"),
+            F.col("name_b").alias("name_a"),
+            F.col("name_a").alias("name_b"),
+            "dist",
+        )
     )
     w = Window.partitionBy("key_a").orderBy("dist", "key_b")
     return (
