@@ -81,9 +81,17 @@ def harmonic_centrality_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e0 = _copurchase_edge_set(spark, sf_dir)
-    e = e0.unionAll(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False, storageLevel=graph_ckpt_level(sf_dir))
+    # key the symmetrized adjacency on u BEFORE checkpointing (r13):
+    # every BFS hop equi-joins on e.u, and the checkpoint preserves
+    # the hash partitioning, so the |2E|-row frame is exchanged once
+    # here instead of once per hop (guide §2.4 — share one exchange).
+    e = (
+        e0.unionAll(
+            e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        .localCheckpoint(eager=False, storageLevel=graph_ckpt_level(sf_dir))
+    )
     probes = (
         e.select("u")
         .filter(F.col("u") % 97 == 0)

@@ -306,7 +306,13 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sufficient shuffle disk."
         )
     e = _copurchase_edge_set(spark, sf_dir)
-    tri = _count_triangles(e, ckpt_level=graph_ckpt_level(sf_dir))
+    tri = _count_triangles(
+        e,
+        ckpt_level=graph_ckpt_level(sf_dir),
+        deg=copurchase_degree_table(spark, sf_dir).select(
+            "x", F.col("dg").alias("dg")
+        ),
+    )
     n_e = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
 
@@ -547,18 +553,23 @@ def _bfs_layer_counts(
     return counts
 
 
-def _count_triangles(e: DataFrame, ckpt_level=None) -> DataFrame:
+def _count_triangles(e: DataFrame, ckpt_level=None, deg: DataFrame | None = None) -> DataFrame:
     """Degree-oriented wedge join + closing equi-join over a canonical
     (u, v) edge frame → 1-row (n_triangles) frame. ``ckpt_level``
     feeds the oriented-edge checkpoint (callers pass
     graph_ckpt_level(sf_dir)): at sf10 the EXACT path's oriented
     frame is ~300M rows and the deserialized default killed a 16g
     session — the round-12 sf10 gate's catch."""
-    deg = (
-        e.select(F.explode(F.array("u", "v")).alias("x"))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("dg"))
-    )
+    # ``deg``: callers whose edge frame IS the full pair table pass
+    # the shared |V|-sized degree artifact (r13 — skips re-deriving
+    # degrees from the |2E|-row explode); samplers (DOULION) must
+    # leave it None so degrees reflect the sparsified graph.
+    if deg is None:
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("x"))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
     # orient each edge from the (deg, id)-smaller endpoint to the larger
     o = (
         e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("dg", "du"), "u")
