@@ -76,36 +76,76 @@ def kmeans_lloyd(
         [int(x) for x in r.q] for r in base.orderBy("id").limit(k).collect()
     ]
 
+    # One (cluster, dist) struct array from ONE literal centroid
+    # matrix + ONE transform (r13): the previous shape built k
+    # independent zip_with/aggregate trees and re-derived them for the
+    # argmin, the min and the runner-up, so every iteration re-planned
+    # a ~k*dim*3-node expression forest — at bench scale the driver's
+    # analysis time dominated the whole operator. Distances are the
+    # same exact integer Σ(q−m)²; array_min over struct(d2, c) breaks
+    # ties to the lowest cluster id exactly like the old
+    # array_position-of-min.
+    def dist_pairs() -> F.Column:
+        cmat = F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("c"),
+                    F.array(*[F.lit(int(x)) for x in cc]).alias("qc"),
+                )
+                for i, cc in enumerate(centroids)
+            ]
+        )
+        return F.transform(
+            cmat,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"), s["qc"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s["c"].alias("c"),
+            ),
+        )
+
     def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[_q_sq_dist(F.col("q"), c) for c in centroids])
-        # array_position of the min = nearest centroid, 1-based; ties
-        # break to the lowest cluster id on both recomputes
-        best = F.array_position(dists, F.array_min(dists)).cast("long") - 1
-        return frame.withColumn("cluster", best).withColumn(
-            "qdist", F.array_min(dists)
+        m = F.array_min(dist_pairs())
+        return frame.select(
+            "id", "q", m["c"].alias("cluster"), m["d2"].alias("qdist")
         )
 
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = assign(base)
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
+        # per-dimension sums via posexplode + a (cluster, dim) keyed
+        # aggregate: k*dim tiny rows after map-side partial
+        # aggregation, and a constant-size plan instead of `dim` sum
+        # columns (the assignment stays a pure map pass — nothing
+        # corpus-sized shuffles)
+        sums = (
+            assign(base)
+            .select("cluster", F.posexplode("q").alias("i", "val"))
+            .groupBy("cluster", "i")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").alias("s"),
+            )
         )
+        comp: dict[tuple[int, int], tuple[int, int]] = {}
+        for r in sums.collect():
+            comp[(int(r["cluster"]), int(r["i"]))] = (int(r["s"]), int(r["n"]))
         new = {
-            r["cluster"]: [_half_up_div(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)]
-            for r in sums.collect()
+            c: [
+                _half_up_div(*comp[(c, i)])
+                for i in range(dim)
+            ]
+            for c in {c for c, _ in comp}
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
 
     out = assign(base)
     if second:
-        dists = F.array(*[_q_sq_dist(F.col("q"), c) for c in centroids])
-        out = out.withColumn(
-            "qdist2", F.element_at(F.sort_array(dists), 2)
-        )
+        ds = F.sort_array(dist_pairs())
+        out = out.withColumn("qdist2", ds[1]["d2"])
         return out.select("id", "cluster", "qdist", "qdist2")
     return out.select("id", "cluster", "qdist")
