@@ -268,34 +268,19 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf10 is ~5e9 rows — a >120 GB closing-join shuffle that
     # exceeds this box's free disk and died twice (10-minute JVM
     # death march, DISK_ONLY notwithstanding). The guard is
-    # metadata-only (pair-snapshot bytes on disk — no job runs at
-    # DataFrame construction, so the plan audit stays lazy): sf1's
-    # snapshot is 94 MB and the exact count takes ~40s; sf10's is
-    # 918 MB and is disk-infeasible here. Deployments with real
+    # metadata-only (no job runs at DataFrame construction, so the
+    # plan audit stays lazy): estimate the pair-table size from the
+    # source lineitem bytes on disk; the measured ratio is ~0.9×
+    # (sf1: 103 MB lineitem → 94 MB pair table; sf10: 1.1 GB →
+    # 918 MB), so 0.85× is a safe proxy that keeps sf1 admissible
+    # (~40s exact count) and refuses sf10. Deployments with real
     # shuffle disk raise SPARK_GRAFT_TRIANGLE_EXACT_MAX; the
     # documented at-scale paths are triangle_count_doulion (unbiased
     # sampled, passes the sf10 gate) or a support-thresholded edge
     # set through this same pipeline.
-    snap = _copurchase_artifact_path(sf_dir)
-    if os.path.isdir(snap):
-        est = _dir_bytes(snap)
-        basis = f"pair artifact {est >> 20} MB"
-    else:
-        # Fresh sf_dir: the artifact has not been built yet, so the
-        # guard CANNOT wait for it — _copurchase_edge_set would
-        # eagerly materialize it and the infeasible wedge join would
-        # run before any size is observable (ADVICE r12). Estimate
-        # the snapshot size from the source lineitem instead; the
-        # measured ratio is ~0.9× (sf1: 103 MB lineitem → 94 MB
-        # snapshot; sf10: 1.1 GB → 918 MB), so 0.85× is a safe
-        # metadata-only proxy that keeps sf1 admissible and refuses
-        # sf10 even on a cold artifact cache.
-        li_bytes = _dir_bytes(os.path.join(sf_dir, "lineitem.parquet"))
-        est = int(li_bytes * 0.85)
-        basis = (
-            f"estimated {est >> 20} MB from lineitem "
-            f"{li_bytes >> 20} MB (artifact not yet built)"
-        )
+    li_bytes = _dir_bytes(os.path.join(sf_dir, "lineitem.parquet"))
+    est = int(li_bytes * 0.85)
+    basis = f"estimated {est >> 20} MB from lineitem {li_bytes >> 20} MB"
     if est > TRIANGLE_EXACT_MAX_BYTES:
         raise RuntimeError(
             "triangle_count_parts: exact wedge join is infeasible at "
@@ -320,43 +305,43 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict = {}
 
 
-def _copurchase_artifact_path(sf_dir: str) -> str:
-    """Artifact directory for this sf_dir's co-purchase pair table,
+def _copurchase_cache_key(sf_dir: str) -> str:
+    """Session-memo key for this sf_dir's co-purchase pair table,
     fingerprinted by the source lineitem file (size + mtime) so a
-    regenerated testdata dir can never serve a stale graph."""
+    regenerated testdata dir can never serve a stale graph within a
+    long-lived session. (Pre-r13 this was a cross-process snapshot
+    directory path; the on-disk cache was removed — the key now only
+    scopes the in-session memo.)"""
     st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return (
-        f"/root/repo/.tmp/artifacts/copurchase_pairs_{tag}"
-        f"_{st.st_size}_{int(st.st_mtime)}"
-    )
+    return f"copurchase_pairs_{tag}_{st.st_size}_{st.st_mtime_ns}"
 
 
 def copurchase_pair_table(
     spark: SparkSession, sf_dir: str, rebuild: bool = False
 ) -> DataFrame:
     """The canonical weighted co-purchase pair table (u < v, cnt =
-    co-occurrence support), MATERIALIZED ONCE per sf_dir as a
-    snapshots.py versioned artifact and shared by every graph /
+    co-occurrence support), built ONCE PER SESSION per sf_dir
+    (localCheckpoint + session memo) and shared by every graph /
     market-basket consumer (triangles, DOULION, label propagation,
     k-hop BFS, degree distribution, item-item top-k, affinity lift,
     top-20 pairs).
 
-    Why materialize: the build — distinct baskets, per-order
-    self-join, pair-count shuffle — is the dominant cost of every one
-    of those queries (it owned the bench tail: 7.1s label_propagation,
-    6.4s triangles at sf0.1), and the result is a pure function of
-    lineitem. At 100 TB this is exactly the "build the edge list once,
-    checkpoint it, fan out the analyses" discipline a real graph
-    pipeline uses. The artifact is a replace-committed snapshot (one
-    copy even under racing builders) keyed by the source file's
-    fingerprint; ``rebuild=True`` bypasses the cache and recomputes
-    from lineitem (used by the parity test that proves artifact ==
-    fresh build). Consumers read parquet, so each join leg re-scans
-    a compact columnar file instead of re-running the quadratic
-    pair enumeration."""
-    from koalas_spark.sources.snapshots import read_snapshot, write_snapshot
-
+    Why share: the build — distinct baskets, per-order self-join,
+    pair-count shuffle — is the dominant cost of every one of those
+    queries (it owned the bench tail: 7.1s label_propagation, 6.4s
+    triangles at sf0.1), and the result is a pure function of
+    lineitem. At 100 TB this is exactly the "build the edge list
+    once, checkpoint it, fan out the analyses" discipline a real
+    graph pipeline uses. The sharing is strictly SESSION-SCOPED
+    (r13): every bench/oracle invocation recomputes the pair table
+    from the lineitem parquet — the first consumer in a session pays
+    the build, later consumers reuse the checkpointed rows, and
+    NOTHING survives the process (the pre-r13 cross-process disk
+    snapshot, keyed on the testdata fingerprint, was removed as
+    precomputation). ``rebuild=True`` bypasses the memo and
+    recomputes fresh (used by the parity test that proves shared ==
+    fresh build)."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -377,21 +362,14 @@ def copurchase_pair_table(
     )
     if rebuild:
         return fresh
-    path = _copurchase_artifact_path(sf_dir)
-    key = (id(spark), path)
+    key = (id(spark), _copurchase_cache_key(sf_dir))
     got = _PAIR_CACHE.get(key)
     if got is not None:
         return got
-    try:
-        df = read_snapshot(spark, path)
-    except FileNotFoundError:
-        write_snapshot(fresh, path, replace=True)
-        df = read_snapshot(spark, path)
-    # The artifact is small on disk (a few MB per 0.1 SF) so the raw
-    # scan lands in ONE input split and every downstream graph join
-    # would serialize on one core. Re-spread it across the cluster and
-    # cut lineage (same discipline as analytics._spread), memoized per
-    # session so the bench's 8 consumers share one checkpointed copy.
+    # Re-spread before the checkpoint so every downstream graph join
+    # starts from a cluster-wide partitioning (same discipline as
+    # analytics._spread), memoized per session so the bench's 8
+    # consumers share one checkpointed copy.
     # Storage level (VERDICT r10 #2): localCheckpoint defaults to
     # MEMORY_AND_DESER storage, and at sf10 this session-lifetime
     # derivative deserializes to ~12.8 GB — one of the two owners of
@@ -401,7 +379,7 @@ def copurchase_pair_table(
     # re-reads compact serialized blocks from local disk, trading
     # ~seconds of re-read for ~13 GB of resident heap. Driver-graded
     # SFs (<=0.1) keep the in-memory default.
-    df = df.repartition(
+    df = fresh.repartition(
         spark.sparkContext.defaultParallelism, "u", "v"
     ).localCheckpoint(eager=False, storageLevel=graph_ckpt_level(sf_dir))
     _PAIR_CACHE[key] = df
@@ -414,8 +392,9 @@ _DEG_CACHE: dict = {}
 def copurchase_degree_table(
     spark: SparkSession, sf_dir: str, rebuild: bool = False
 ) -> DataFrame:
-    """(x, dg) node-degree table of the co-purchase graph,
-    MATERIALIZED as a snapshot next to the pair artifact (round 12).
+    """(x, dg) node-degree table of the co-purchase graph, built once
+    per session next to the pair table (round 12; session-scoped
+    since r13 — no cross-process disk cache).
 
     Why: degrees are the other computation EVERY wedge/probe-family
     consumer repeats — a groupBy over the 2|E|-row symmetrized
@@ -423,12 +402,9 @@ def copurchase_degree_table(
     local_clustering_probes' sf10 wall. Like daily_revenue_table,
     the result is a pure function of the pair table and is |V|-sized
     (~200k rows at sf10), so one build amortizes across the family
-    and across gate subprocesses. Fingerprinted by the same lineitem
-    key as the pair artifact; ``rebuild=True`` recomputes fresh (the
-    parity test's path). Oracles are unaffected — they recompute
-    degrees in SQL."""
-    from koalas_spark.sources.snapshots import read_snapshot, write_snapshot
-
+    within a session. Fingerprinted by the same lineitem key as the
+    pair memo; ``rebuild=True`` recomputes fresh (the parity test's
+    path). Oracles are unaffected — they recompute degrees in SQL."""
     e = _copurchase_edge_set(spark, sf_dir)
     fresh = (
         e.select(F.explode(F.array("u", "v")).alias("x"))
@@ -437,18 +413,12 @@ def copurchase_degree_table(
     )
     if rebuild:
         return fresh
-    path = _copurchase_artifact_path(sf_dir) + "_deg"
-    key = (id(spark), path)
+    key = (id(spark), _copurchase_cache_key(sf_dir) + "_deg")
     got = _DEG_CACHE.get(key)
     if got is not None:
         return got
-    try:
-        df = read_snapshot(spark, path)
-    except FileNotFoundError:
-        write_snapshot(fresh, path, replace=True)
-        df = read_snapshot(spark, path)
     # |V|-sized: a plain respread suffices (no graph-sized checkpoint)
-    df = df.repartition(
+    df = fresh.repartition(
         spark.sparkContext.defaultParallelism, "x"
     ).localCheckpoint(eager=False)
     _DEG_CACHE[key] = df

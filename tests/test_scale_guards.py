@@ -44,28 +44,16 @@ def test_fuzzy_topk_bounded_per_key(spark):
 
 
 # ------------------------------------------------------------- triangle
-def test_triangle_guard_trips_with_artifact_present(spark, monkeypatch):
+def test_triangle_guard_trips_on_tiny_ceiling(spark, monkeypatch, tmp_path):
+    """The guard must refuse via the metadata-only lineitem-size
+    estimate BEFORE any job (or pair-table build) runs — r13: the
+    estimate is the ONLY basis now that the cross-process pair
+    snapshot is gone (session-scoped sharing cannot be inspected
+    from a cold process anyway)."""
     from koalas_spark.queries import mining
 
-    # warm the artifact, then shrink the ceiling below its size
-    mining.copurchase_pair_table(spark, SF_SMOKE).count()
-    assert os.path.isdir(mining._copurchase_artifact_path(SF_SMOKE))
-    monkeypatch.setattr(mining, "TRIANGLE_EXACT_MAX_BYTES", 1)
-    with pytest.raises(RuntimeError) as ei:
-        mining.triangle_count_parts(spark, SF_SMOKE)
-    assert "triangle_count_doulion" in str(ei.value)
-    assert "pair artifact" in str(ei.value)
-
-
-def test_triangle_guard_trips_on_cold_artifact(spark, monkeypatch, tmp_path):
-    """ADVICE r12 medium: on a FRESH sf_dir (artifact not yet built)
-    the guard must still refuse — via the lineitem-size estimate —
-    instead of silently building the artifact and running the
-    infeasible wedge join."""
-    from koalas_spark.queries import mining
-
-    # a tmp sf_dir whose basename differs => distinct artifact path,
-    # guaranteed cold even after other tests warmed the sf0.001 one
+    # a tmp sf_dir copy so the session pair memo for SF_SMOKE (warmed
+    # by other tests) cannot mask a build triggered by the guard
     sf = tmp_path / "sf_cold"
     sf.mkdir()
     src = os.path.join(SF_SMOKE, "lineitem.parquet")
@@ -73,12 +61,10 @@ def test_triangle_guard_trips_on_cold_artifact(spark, monkeypatch, tmp_path):
         shutil.copytree(src, sf / "lineitem.parquet")
     else:
         shutil.copy(src, sf / "lineitem.parquet")
-    assert not os.path.isdir(mining._copurchase_artifact_path(str(sf)))
     monkeypatch.setattr(mining, "TRIANGLE_EXACT_MAX_BYTES", 1)
     with pytest.raises(RuntimeError) as ei:
         mining.triangle_count_parts(spark, str(sf))
     msg = str(ei.value)
-    assert "estimated" in msg  # the cold-cache basis, not the artifact
+    assert "estimated" in msg  # the metadata-only basis
     assert "triangle_count_doulion" in msg
-    # and the refusal really was metadata-only: no artifact was built
-    assert not os.path.isdir(mining._copurchase_artifact_path(str(sf)))
+    assert "SPARK_GRAFT_TRIANGLE_EXACT_MAX" in msg  # names the override
