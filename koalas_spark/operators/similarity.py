@@ -15,6 +15,8 @@ number of planes / probe multi-probing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -697,6 +699,31 @@ def nn_descent(
         .repartition(fan, "vid")
         .localCheckpoint(eager=False)
     )
+    # Join-strategy gate (r13, guide §3.1): every refinement round
+    # equi-joins the candidate pairs against this vector table TWICE
+    # (src endpoint, dst endpoint). The table sits behind a
+    # checkpoint, so the planner has no size estimate and falls back
+    # to a shuffle join — 2 extra exchanges per round, ~10 for the
+    # whole build, pure overhead whenever the table is broadcast-
+    # sized. Count it once (one |V|-row job against the checkpoint
+    # that every round reuses anyway) and hint broadcast under the
+    # same kind of size gate AQE itself applies; above the gate the
+    # shuffle joins stay, so the plan degrades exactly as before at
+    # cluster scale. Join strategy never changes values.
+    n_vec = vec.count()
+    bcast_vec = n_vec <= int(
+        os.environ.get("SPARK_GRAFT_VEC_BROADCAST_LIMIT", 100_000)
+    )
+    # Scale-adaptive candidate fan (guide §2): each refinement round
+    # scores about n_vec * k * 3 pairs; size the one per-round
+    # exchange to ~16k scored pairs per task instead of pinning the
+    # cluster parallelism — at bench SFs that is a handful of real
+    # tasks instead of 32+ empty ones, and at corpus scale it grows
+    # to (and is capped at) the full cluster.
+    cand_fan = max(1, min(fan, (n_vec * k * 3) // 16384 + 1))
+
+    def vec_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_vec else df
 
     # init: union of THREE independently salted hash bucketings (each
     # bucket ~k/2 members). A single bucketing would hand every node a
@@ -705,46 +732,60 @@ def nn_descent(
     # make co-membership differ per salt, which is the deterministic
     # analogue of the paper's random-neighbor init and gives the
     # neighbor-of-neighbor walk cross-bucket reach.
+    # nb comes straight from the n_vec count above (identical to the
+    # old 1-row aggregate-and-crossJoin subplan, minus its stage); the
+    # build side of each salt's self-join rides the same broadcast
+    # gate as the vector lookups.
     from koalas_spark.operators.dedup import portable_hash60
 
     tgt = max(k // 2, 2)
-    n_frame = vec.agg(
-        F.greatest(
-            F.floor(F.count(F.lit(1)) / tgt).cast("bigint"), F.lit(1).cast("bigint")
-        ).alias("nb")
-    )
-    ids = vec.select("vid").crossJoin(F.broadcast(n_frame))
+    nb = F.lit(max(n_vec // tgt, 1)).cast("bigint")
     per_salt = []
     for salt in range(3):
         h = portable_hash60(
             F.concat(F.col("vid").cast("string"), F.lit(f":{salt}"))
         )
-        bucketed = ids.select("vid", F.pmod(h, F.col("nb")).alias("bk"))
+        bucketed = vec.select("vid", F.pmod(h, nb).alias("bk"))
         per_salt.append(
             bucketed.alias("a")
-            .join(bucketed.alias("b"), F.col("a.bk") == F.col("b.bk"))
+            .join(vec_side(bucketed.alias("b")), F.col("a.bk") == F.col("b.bk"))
             .filter(F.col("a.vid") != F.col("b.vid"))
             .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
         )
-    cand = per_salt[0].unionByName(per_salt[1]).unionByName(per_salt[2]).distinct()
+    cand = per_salt[0].unionByName(per_salt[1]).unionByName(per_salt[2])
 
     def top_k(cands: DataFrame) -> DataFrame:
-        # pin the candidate exchange at cluster parallelism: the
-        # rounded-cosine scoring is the compute wall of every round
-        # (two array dot products per candidate pair), and the frame's
-        # shuffle BYTES are small enough that AQE would coalesce it to
-        # one partition — a bytes-proxy that misprices compute-heavy
-        # rows (guide §2.2/§2.6). Keyed on src so the first equi-join
-        # reuses the exchange.
+        # ONE exchange per round (r13, guide §2.4): the candidate
+        # frame is hash-partitioned on src once, and BOTH the
+        # (src, dst) dedup and the per-src top-k window ride that
+        # partitioning (src is a subset of each operator's clustering
+        # keys, so EnsureRequirements inserts no further exchange);
+        # under the broadcast gate the endpoint lookups between them
+        # are broadcast-hash probes. The old shape paid three
+        # exchanges per round: distinct on (src, dst), a pinned
+        # 32-way spread, and the window sort.
+        spread = cands.repartition(cand_fan, "src").dropDuplicates(
+            ["src", "dst"]
+        )
         scored = (
-            cands.repartition(fan, "src").join(
-                vec.select(F.col("vid").alias("src"), F.col("v").alias("sv"),
-                           F.col("n2").alias("sn")),
+            spread.join(
+                vec_side(
+                    vec.select(
+                        F.col("vid").alias("src"),
+                        F.col("v").alias("sv"),
+                        F.col("n2").alias("sn"),
+                    )
+                ),
                 "src",
             )
             .join(
-                vec.select(F.col("vid").alias("dst"), F.col("v").alias("dv"),
-                           F.col("n2").alias("dn")),
+                vec_side(
+                    vec.select(
+                        F.col("vid").alias("dst"),
+                        F.col("v").alias("dv"),
+                        F.col("n2").alias("dn"),
+                    )
+                ),
                 "dst",
             )
             .select(
@@ -778,7 +819,6 @@ def nn_descent(
             .unionByName(rev)
             .unionByName(non)
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
         edges = top_k(cands).localCheckpoint(eager=False)
     return edges

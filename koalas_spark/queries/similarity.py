@@ -700,7 +700,14 @@ def _graph_search_frames(
         .filter(F.col("rk") <= 8)
         .select("pid", "node")
     )
-    vis = sc
+    # visited-set lifecycle (r13): the walk never reads `vis` inside
+    # the loop, so the old per-round unionByName().distinct()
+    # .localCheckpoint() rotation (3 extra shuffles + 3 checkpoint
+    # materializations) is deferred — each round's scored frame is
+    # appended lazily and deduplicated ONCE in the final ranking.
+    # Scores are deterministic per (pid, node), so one distinct at
+    # the end yields the identical visited set.
+    vis_parts = [sc]
     for _ in range(3):
         nb = (
             F.broadcast(beam)
@@ -714,9 +721,13 @@ def _graph_search_frames(
             .filter(F.col("rk") <= 8)
             .select("pid", "node")
         )
-        vis = vis.unionByName(sc).distinct().localCheckpoint(eager=False)
+        vis_parts.append(sc)
+    vis = vis_parts[0]
+    for part in vis_parts[1:]:
+        vis = vis.unionByName(part)
     ranked = (
         vis.filter(F.col("node") != F.col("pid"))
+        .distinct()
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select(
