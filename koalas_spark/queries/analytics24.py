@@ -299,27 +299,44 @@ WHERE rk <= 5
 """,
 )
 def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        bcast_e,
+        bcast_v,
+        copurchase_degree_table,
+    )
 
     e = _copurchase_edge_set(spark, sf_dir)
     adj = e.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
         e.select(F.col("v").alias("c"), F.col("u").alias("x"))
     )
-    dg = adj.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    # r13 plan rework (the jaccard_link_copurchase shape, guide
+    # §2.4/§3.1): center weights come from the shared |V|-sized degree
+    # table (no fresh 2|E|-row aggregate) and broadcast under the |V|
+    # gate; the %97 probe side broadcasts under the |E| gate so the
+    # full adjacency streams through the wedge join; the closing
+    # anti-join's edge side broadcasts under the same gate. The only
+    # remaining exchanges are the inherent (u, v) wedge aggregate and
+    # the per-probe window. Was: 4 sort-merge joins over 8 exchanges.
     ctr = (
-        dg.filter((F.col("dg") >= 2) & (F.col("dg") <= 256))
+        copurchase_degree_table(spark, sf_dir)
+        .filter((F.col("dg") >= 2) & (F.col("dg") <= 256))
         .select(
-            "c",
+            F.col("x").alias("c"),
             F.floor(1000000000 / F.log(F.col("dg").cast("double")) + 0.5)
             .cast("bigint")
             .alias("inv_nano"),
         )
         .alias("ctr")
     )
-    a1 = adj.filter(F.col("x") % 97 == 0).alias("a1")
+    a1 = (
+        adj.filter(F.col("x") % 97 == 0)
+        .alias("a1")
+        .join(bcast_v(ctr, sf_dir), F.col("ctr.c") == F.col("a1.c"))
+    )
     a2 = adj.alias("a2")
     cand = (
-        a1.join(ctr, F.col("ctr.c") == F.col("a1.c"))
+        bcast_e(a1, sf_dir)
         .join(
             a2,
             (F.col("a2.c") == F.col("a1.c"))
@@ -332,7 +349,7 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     open_pairs = cand.join(
-        e,
+        bcast_e(e, sf_dir),
         (e.u == F.least(cand.u, cand.v)) & (e.v == F.greatest(cand.u, cand.v)),
         "left_anti",
     )

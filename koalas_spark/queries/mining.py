@@ -466,6 +466,33 @@ def graph_ckpt_level(sf_dir: str):
     return None
 
 
+def bcast_v(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Metadata-only broadcast gate for |V|-SIZED frames of the
+    co-purchase family (degree/cap/label tables — one row per part
+    key). Driven by the source lineitem bytes like graph_ckpt_level:
+    |V| grows ~linearly with the source, and a (long, long) row per
+    node stays broadcast-sized (~16 B/node) well past sf10 (200k
+    nodes = ~3 MB). Above the gate the hint is dropped and the
+    planner shuffles as before — values never depend on strategy."""
+    if _dir_bytes(os.path.join(sf_dir, "lineitem.parquet")) <= 8 << 30:
+        return F.broadcast(df)
+    return df
+
+
+def bcast_e(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Metadata-only broadcast gate for |E|-DERIVED frames (probe-
+    filtered adjacency slices, the edge set itself in closing/anti
+    joins). Edge-linear frames outgrow broadcast around the same
+    scale the graph checkpoints go DISK_ONLY, so the gate shares
+    graph_ckpt_level's 512 MB source threshold (sf1's 103 MB lineitem
+    broadcasts a ~12M-edge frame ≈ 190 MB hash relation — heavy but
+    measured cheaper than re-shuffling the wedge fan-out; sf10 does
+    not)."""
+    if _dir_bytes(os.path.join(sf_dir, "lineitem.parquet")) <= 512 * 1024 * 1024:
+        return F.broadcast(df)
+    return df
+
+
 def _copurchase_edge_set(
     spark: SparkSession, sf_dir: str, pre_distinct_filter=None
 ) -> DataFrame:
