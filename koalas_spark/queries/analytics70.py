@@ -319,13 +319,13 @@ def daily_revenue_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_i"),
         F.col("rn").alias("rn_i"),
         F.col("arr").alias("arr_i"),
-        F.col("s").alias("s_i"),
+        F.col("s").alias("wsum_i"),
     )
     b = win.select(
         F.col("d").alias("d_j"),
         F.col("rn").alias("rn_j"),
         F.col("arr").alias("arr_j"),
-        F.col("s").alias("s_j"),
+        F.col("s").alias("wsum_j"),
     )
     pairs = a.join(F.broadcast(b), F.col("rn_j") >= F.col("rn_i") + 7).select(
         "d_i",
@@ -335,7 +335,7 @@ def daily_revenue_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "arr_i",
                 "arr_j",
                 lambda x, y: F.abs(
-                    7 * (x - y) - (F.col("s_i") - F.col("s_j"))
+                    7 * (x - y) - (F.col("wsum_i") - F.col("wsum_j"))
                 ),
             ),
             F.lit(0).cast("bigint"),
@@ -416,18 +416,18 @@ def daily_revenue_discord(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("d_i"),
         F.col("rn").alias("rn_i"),
         F.col("arr").alias("arr_i"),
-        F.col("s").alias("s_i"),
+        F.col("s").alias("wsum_i"),
     )
     b = win.select(
         F.col("rn").alias("rn_j"),
         F.col("arr").alias("arr_j"),
-        F.col("s").alias("s_j"),
+        F.col("s").alias("wsum_j"),
     )
     dist = F.aggregate(
         F.zip_with(
             "arr_i",
             "arr_j",
-            lambda x, y: F.abs(7 * (x - y) - (F.col("s_i") - F.col("s_j"))),
+            lambda x, y: F.abs(7 * (x - y) - (F.col("wsum_i") - F.col("wsum_j"))),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
