@@ -27,19 +27,23 @@ def get_spark(app_name: str = "koalas_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalescing merges post-shuffle partitions by BYTES
-        # (parallelismFirst honors minPartitionSize, default 1m). The
-        # engine's narrow-row shuffles (two-long graph edges, id+count
-        # aggregates) compress to a few MB while carrying millions of
-        # rows, so the default serialized whole hash aggregations onto
-        # 1-3 tasks (measured: every label-propagation round ran its
-        # 2.4M-row vote aggregate on <=3 of 32 cores). 64k keeps those
-        # compute-heavy-but-small-byte stages parallel; the env knob
-        # lets a real cluster raise it back toward the 1m default when
-        # shuffle-block count, not per-task compute, is the binding
-        # constraint (guide §2.2 vs §2.5).
+        # (parallelismFirst honors minPartitionSize, default 1m). An
+        # r13 experiment dropped the default to 64k so narrow-row
+        # graph shuffles (two-long edges compressing to a few MB while
+        # carrying millions of rows) would stay parallel, but a 10-
+        # query mid-tier A/B (tfidf, baskets, q21, littles-law, ...)
+        # measured 64k a 13% LOSS (18.9s vs 16.3s) and even the graph
+        # family itself was net faster at 1m (49.6s vs 46.9s) once the
+        # label-propagation round-1 rewrite removed the pathological
+        # vote aggregate — more tiny post-shuffle tasks cost more in
+        # scheduling than they recover in parallelism (guide §2.2:
+        # fewer, larger partitions). So the SPARK default stands; the
+        # env knob remains for clusters that need to move it either
+        # way, and truly compute-heavy-but-small-byte stages fix their
+        # parallelism locally (explicit repartition at the operator).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let the planner pick shuffled-hash join when its size checks
@@ -48,7 +52,10 @@ def get_spark(app_name: str = "koalas_spark", cpus: int | None = None) -> SparkS
         # label/degree frame every round, and sort-merge re-sorts the
         # edge side per round for no benefit. Sort-merge remains the
         # planner's fallback whenever the build side could not fit.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # 16g, NOT most-of-RAM: measured at sf0.1, a 48g heap made G1
         # pathological — lazy heap commit page-faulted in kernel mode
         # (97% sys CPU bursts) and rare giant mixed collections turned
