@@ -143,9 +143,20 @@ def kmeans_lloyd(
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
 
-    out = assign(base)
     if second:
+        # ONE sorted (d2, c) array serves cluster, qdist AND the
+        # runner-up distance (r13): the previous shape ran assign()'s
+        # array_min over dist_pairs() and then re-derived the ENTIRE
+        # k×dim distance forest a second time for sort_array — the
+        # final pass paid every distance twice. sort_array over
+        # struct(d2, c) orders by (d2, c), so element 0 is exactly
+        # array_min's (min d2, lowest cluster id) tie-break and
+        # element 1 is the second-nearest centroid.
         ds = F.sort_array(dist_pairs())
-        out = out.withColumn("qdist2", ds[1]["d2"])
-        return out.select("id", "cluster", "qdist", "qdist2")
-    return out.select("id", "cluster", "qdist")
+        return base.select(
+            "id",
+            ds[0]["c"].alias("cluster"),
+            ds[0]["d2"].alias("qdist"),
+            ds[1]["d2"].alias("qdist2"),
+        )
+    return assign(base).select("id", "cluster", "qdist")

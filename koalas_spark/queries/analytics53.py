@@ -85,7 +85,11 @@ WHERE rk <= 5
 """,
 )
 def jaccard_link_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.queries.mining import _copurchase_edge_set
+    from koalas_spark.queries.mining import (
+        _copurchase_edge_set,
+        bcast_e,
+        bcast_v,
+    )
 
     coin = F.substring(
         F.md5(
@@ -103,29 +107,48 @@ def jaccard_link_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = es.select(F.col("u").alias("c"), F.col("v").alias("x")).unionAll(
         es.select(F.col("v").alias("c"), F.col("u").alias("x"))
     )
+    # r13 plan rework — the #353 (jaccard_link_copurchase) broadcast
+    # discipline applied to the sampled twin (guide §2.4/§3.1). The
+    # SAMPLED degree table cannot come from the shared artifact (it
+    # counts the coin-surviving adjacency only), but it is still
+    # |V|-sized, so one localCheckpoint lets the cap filter, both
+    # denominator lookups and the center gate share a single build
+    # instead of re-aggregating the sampled adjacency three times.
+    # The cap/denominator/center sides broadcast under the |V| gate,
+    # the %97 probe slice and the closing anti-join's edge side under
+    # the |E| gate — above the gates the old shuffle plan returns
+    # unchanged. Remaining exchanges: the inherent (u, v) wedge
+    # aggregate and the per-probe ranking window.
     deg = (
         adj.groupBy("c")
         .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
         .select(F.col("c").alias("x"), "dg")
+        .localCheckpoint(eager=False)
     )
     ctr = deg.filter((F.col("dg") >= 2) & (F.col("dg") <= 64)).select(
         F.col("x").alias("c")
     )
-    a1 = adj.filter(F.col("x") % 97 == 0).select(
-        F.col("c"), F.col("x").alias("u")
+    a1 = (
+        adj.filter(F.col("x") % 97 == 0)
+        .select(F.col("c"), F.col("x").alias("u"))
+        .join(bcast_v(ctr, sf_dir), "c")
     )
     a2 = adj.select(F.col("c"), F.col("x").alias("v"))
     cand = (
-        a1.join(ctr, "c")
+        bcast_e(a1, sf_dir)
         .join(a2, "c")
         .filter(F.col("v") != F.col("u"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_s"))
     )
-    du = deg.select(F.col("x").alias("u"), F.col("dg").alias("dg_u"))
-    dv = deg.select(F.col("x").alias("v"), F.col("dg").alias("dg_v"))
-    closed = e.select(
-        F.col("u").alias("eu"), F.col("v").alias("ev")
+    du = bcast_v(
+        deg.select(F.col("x").alias("u"), F.col("dg").alias("dg_u")), sf_dir
+    )
+    dv = bcast_v(
+        deg.select(F.col("x").alias("v"), F.col("dg").alias("dg_v")), sf_dir
+    )
+    closed = bcast_e(
+        e.select(F.col("u").alias("eu"), F.col("v").alias("ev")), sf_dir
     )
     open_pairs = (
         cand.join(du, "u")

@@ -598,12 +598,46 @@ FROM (
 # rows-only under the xxhash64 init). Recall against exact brute-force
 # neighbors and per-iteration monotonicity stay unit-tested
 # (tests/test_similarity.py::test_nn_descent_recall_improves).
-@query("ann_nn_descent", oracle=_nn_descent_oracle_sql(k=10, iters=4, tgt=5))
-def ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+_NN_GRAPH_CACHE: dict = {}
+
+
+def nn_descent_graph_table(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> DataFrame:
+    """The canonical k=10 / iters=4 NN-Descent graph over this
+    sf_dir's embeddings, built ONCE PER SESSION (the
+    copurchase_pair_table discipline, r13) and shared by its three
+    consumers (#199 ann_nn_descent, #474 ann_graph_search, #477
+    graph_search_recall_audit), each of which previously re-ran the
+    identical 5-round construction. The result is a pure function of
+    the embeddings table; nn_descent's final round already ends in a
+    localCheckpoint, so the memo stores that frame directly. Sharing
+    is strictly SESSION-SCOPED: every bench/oracle invocation
+    recomputes from the embeddings parquet (nothing survives the
+    process), fingerprinted by the source file so a regenerated
+    testdata dir can never serve a stale graph. ``rebuild=True``
+    bypasses the memo (the parity test proving shared == fresh)."""
+    import os
+
     from koalas_spark.operators.similarity import nn_descent
 
     emb = _t(spark, sf_dir, "embeddings")
-    graph = nn_descent(emb, "vec_id", "embedding", k=10, iters=4)
+    if rebuild:
+        return nn_descent(emb, "vec_id", "embedding", k=10, iters=4)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    key = (id(spark), tag, st.st_size, st.st_mtime_ns)
+    got = _NN_GRAPH_CACHE.get(key)
+    if got is not None:
+        return got
+    df = nn_descent(emb, "vec_id", "embedding", k=10, iters=4)
+    _NN_GRAPH_CACHE[key] = df
+    return df
+
+
+@query("ann_nn_descent", oracle=_nn_descent_oracle_sql(k=10, iters=4, tgt=5))
+def ann_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    graph = nn_descent_graph_table(spark, sf_dir)
     return (
         graph.filter(F.col("src") < 5)
         .withColumnsRenamed({"src": "probe_id", "dst": "neighbor_id"})
@@ -633,14 +667,11 @@ def _graph_search_frames(
 ) -> tuple[DataFrame, DataFrame]:
     """(vec frame, ranked beam-search result) — shared by #474 and
     the #477 recall audit."""
-    from koalas_spark.operators.similarity import nn_descent
-
     emb = _t(spark, sf_dir, "embeddings")
-    graph = (
-        nn_descent(emb, "vec_id", "embedding", k=10, iters=4)
-        .select("src", "dst")
-        .localCheckpoint(eager=False)
-    )
+    # session-shared construction (r13): the graph comes from the
+    # memoized nn_descent_graph_table — already checkpointed by the
+    # final refinement round, so no extra checkpoint is needed here
+    graph = nn_descent_graph_table(spark, sf_dir).select("src", "dst")
 
     def dot(a, b):
         return F.aggregate(

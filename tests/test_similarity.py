@@ -183,3 +183,17 @@ def test_graph_search_recall(spark):
     hits = sum(len(got[p] & exact[p]) for p in exact)
     recall = hits / (5 * len(exact))
     assert recall >= 0.6, recall
+
+
+def test_nn_graph_artifact_matches_fresh_build(spark):
+    """The session-shared NN-Descent graph memo (r13) must be
+    value-identical to a fresh construction (rebuild=True bypasses
+    it) — the copurchase_pair_table parity discipline."""
+    from koalas_spark.queries.similarity import nn_descent_graph_table
+
+    sf = "/root/testdata/sf0.001"
+    cached = nn_descent_graph_table(spark, sf).collect()
+    fresh = nn_descent_graph_table(spark, sf, rebuild=True).collect()
+    assert sorted(map(tuple, cached)) == sorted(map(tuple, fresh))
+    # and the memo actually memoizes: same object on a second call
+    assert nn_descent_graph_table(spark, sf) is nn_descent_graph_table(spark, sf)
