@@ -179,6 +179,7 @@ def label_propagation_communities(
 ) -> DataFrame:
     from koalas_spark.queries.mining import (
         _copurchase_edge_set,
+        bcast_v,
         graph_ckpt_level,
     )
 
@@ -207,10 +208,20 @@ def label_propagation_communities(
     # (the returned rollup reads labels only).
     prev = labels
     for _ in range(3):
+        # the label lookup side is |V|-sized (one (x, lbl) row per
+        # node), so it rides the bcast_v gate (r13, guide §2.4/§3.1):
+        # as a broadcast build the 2|E|-row edge frame STREAMS through
+        # the neighbor-label join with NO exchange, leaving the
+        # map-side-combined vote aggregate as the round's only
+        # shuffle (was: edge frame re-shuffled on v every round).
+        # Above the gate the old shuffle join returns unchanged.
         votes = (
             d.join(
-                labels.select(
-                    F.col("x").alias("nx"), F.col("lbl").alias("l")
+                bcast_v(
+                    labels.select(
+                        F.col("x").alias("nx"), F.col("lbl").alias("l")
+                    ),
+                    sf_dir,
                 ),
                 d["v"] == F.col("nx"),
             )

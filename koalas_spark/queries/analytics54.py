@@ -78,13 +78,16 @@ FROM agg
 def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from koalas_spark.queries.mining import (
         _copurchase_edge_set,
+        bcast_v,
+        copurchase_degree_table,
         graph_ckpt_level,
     )
 
     lvl = graph_ckpt_level(sf_dir)
-    e = _copurchase_edge_set(spark, sf_dir).localCheckpoint(
-        eager=False, storageLevel=lvl
-    )
+    # e is a column-prune of the session-memoized pair table, which is
+    # already checkpointed — re-checkpointing it here only duplicated
+    # the blocks (r13); d (the symmetrized view) keeps its own.
+    e = _copurchase_edge_set(spark, sf_dir)
     d = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False, storageLevel=lvl)
@@ -104,9 +107,17 @@ def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only the intermediate rotation is releasable here.
     prev = labels
     for _ in range(1):
+        # |V|-sized label lookup rides the bcast_v gate (the #242 r13
+        # rework): the edge frame streams through the join with no
+        # exchange; the vote aggregate is the round's only shuffle.
         votes = (
             d.join(
-                labels.select(F.col("x").alias("nx"), F.col("lbl").alias("l")),
+                bcast_v(
+                    labels.select(
+                        F.col("x").alias("nx"), F.col("lbl").alias("l")
+                    ),
+                    sf_dir,
+                ),
                 d["v"] == F.col("nx"),
             )
             .groupBy(F.col("u").alias("x"), "l")
@@ -125,19 +136,25 @@ def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev is not None:
             prev.unpersist()
         prev = labels
-    deg = d.groupBy(F.col("u").alias("x")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("dg")
+    # degrees of the symmetrized adjacency == the session-shared
+    # |V|-sized degree artifact (d = e ∪ swap(e) is distinct by
+    # construction), so the fresh 2|E|-row aggregate is gone (r13);
+    # the label joins for the degree rollup and the m_in edge pass
+    # broadcast the |V|-sized side under the bcast_v gate, so the
+    # edge set streams with no exchange.
+    deg = copurchase_degree_table(spark, sf_dir).select(
+        "x", F.col("dg")
     )
     dc = (
-        deg.join(labels, "x")
+        deg.join(bcast_v(labels, sf_dir), "x")
         .groupBy("lbl")
         .agg(F.sum("dg").cast("bigint").alias("dsum"))
     )
     cu = labels.select(F.col("x").alias("u"), F.col("lbl").alias("lu"))
     cv = labels.select(F.col("x").alias("v"), F.col("lbl").alias("lv"))
     m_in = (
-        e.join(cu, "u")
-        .join(cv, "v")
+        e.join(bcast_v(cu, sf_dir), "u")
+        .join(bcast_v(cv, sf_dir), "v")
         .filter(F.col("lu") == F.col("lv"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("m_in"))
     )

@@ -110,11 +110,40 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#148's integer BM25 scoring, pre-window: (query_id, doc_id,
-    score) for every doc matching >= 1 query term. Shared by
-    bm25_topk and the retrieval-eval ops (#467-469) so all of them
-    rank the exact same scores."""
+_BM25_CACHE: dict = {}
+
+
+def _bm25_parts(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """#148's integer BM25 machinery: (tf frame, scored frame). tf is
+    the checkpointed (term, doc_id, tf) posting slice for query terms;
+    scored is the pre-window (query_id, doc_id, score) for every doc
+    matching >= 1 query term. Shared by bm25_topk and the
+    retrieval-eval ops (#467-469) so all of them rank the exact same
+    scores — and so the eval ops can derive their relevance labels
+    from tf instead of a second corpus pass.
+
+    Built ONCE PER SESSION per sf_dir (r13 — the copurchase_pair_table
+    discipline): four queries consume the identical scoring pipeline,
+    and it is a pure function of the documents table plus the fixed
+    query set. Sharing is strictly SESSION-SCOPED — every bench/oracle
+    invocation recomputes from the documents parquet, fingerprinted by
+    the source file; ``rebuild=True`` bypasses the memo (parity
+    test)."""
+    import os
+
+    if not rebuild:
+        st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        key = (
+            id(spark),
+            os.path.basename(sf_dir.rstrip("/")),
+            st_f.st_size,
+            st_f.st_mtime_ns,
+        )
+        got = _BM25_CACHE.get(key)
+        if got is not None:
+            return got
     d = _t(spark, sf_dir, "documents")
     q = spark.createDataFrame(_QUERIES, "query_id int, term string")
     qt = q.select("term").distinct()
@@ -123,7 +152,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(F.broadcast(qt), "term")
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)  # feeds both df and the score join
+        .localCheckpoint(eager=False)  # feeds df, the score join, rel
     )
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
@@ -134,7 +163,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfnorm = F.expr(
         "(22 * tf * t * 1000) div (10 * tf * t + 3 * t + 9 * dl * n)"
     )
-    return (
+    scored = (
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(dfq), "term")
         .join(dl, "doc_id")
@@ -142,16 +171,40 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum(idf_s * tfnorm).alias("score"))
     )
+    if rebuild:
+        return tf, scored
+    # the scored frame is (query, matching-doc)-sized — checkpoint it
+    # so the memo's later consumers skip the scoring joins too
+    scored = scored.localCheckpoint(eager=False)
+    _BM25_CACHE[key] = (tf, scored)
+    return tf, scored
 
 
-def _relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_parts(spark, sf_dir)[1]
+
+
+def _relevance(spark: SparkSession, sf_dir: str, tf: DataFrame | None = None) -> DataFrame:
     """Graded pseudo-relevance labels for the benchmark queries:
     rel(query, doc) = number of the query's DISTINCT terms present in
     the doc (1..3 — docs matching no term are unlabeled). Purely
     term-presence-derived, so both engines agree exactly; this is the
-    judgment set the eval ops (#467-469) grade rankings against."""
-    d = _t(spark, sf_dir, "documents")
+    judgment set the eval ops (#467-469) grade rankings against.
+
+    ``tf`` (r13, guide §1.2 "don't compute things twice"): when the
+    caller already built #148's (term, doc_id, tf) posting slice,
+    rel derives from it directly — a (term, doc) appears in tf iff
+    the doc contains the term, so COUNT per (query, doc) over tf ⋈ q
+    is value-identical to re-exploding the corpus, and the eval ops
+    drop their second full-corpus pass."""
     q = spark.createDataFrame(_QUERIES, "query_id int, term string")
+    if tf is not None:
+        return (
+            tf.join(F.broadcast(q), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+        )
+    d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     return (
         tok.join(F.broadcast(q), "term")
@@ -258,8 +311,8 @@ ORDER BY dcg.query_id
 """,
 )
 def ndcg_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _bm25_scored(spark, sf_dir)
-    rel = _relevance(spark, sf_dir).localCheckpoint(
+    tf, scored = _bm25_parts(spark, sf_dir)
+    rel = _relevance(spark, sf_dir, tf=tf).localCheckpoint(
         eager=False
     )  # feeds both the DCG join and the ideal ranking
     w = Window.partitionBy("query_id").orderBy(
@@ -332,8 +385,8 @@ ORDER BY nt.query_id
 """,
 )
 def mrr_full_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _bm25_scored(spark, sf_dir)
-    rel = _relevance(spark, sf_dir)
+    tf, scored = _bm25_parts(spark, sf_dir)
+    rel = _relevance(spark, sf_dir, tf=tf)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -396,8 +449,8 @@ ORDER BY h.query_id, k
 """,
 )
 def precision_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _bm25_scored(spark, sf_dir)
-    rel = _relevance(spark, sf_dir)
+    tf, scored = _bm25_parts(spark, sf_dir)
+    rel = _relevance(spark, sf_dir, tf=tf)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -493,14 +546,10 @@ def query_likelihood_dirichlet(
 ) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     q = spark.createDataFrame(_QUERIES, "query_id int, term string")
-    qt = q.select("term").distinct()
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = (
-        tok.join(F.broadcast(qt), "term")
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint(eager=False)  # feeds both cf and the score join
-    )
+    # the (term, doc_id, tf) posting slice is IDENTICAL to #148's —
+    # reuse the session-shared artifact instead of a second corpus
+    # explode (r13; COUNT is bigint in both builds)
+    tf, _ = _bm25_parts(spark, sf_dir)
     cf = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cf"))
     dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
     ct = dl.agg(F.sum("dl").cast("bigint").alias("c"))
