@@ -161,15 +161,12 @@ FROM est JOIN ext ON est.id_a = ext.id_a AND est.id_b = ext.id_b
 """,
 )
 def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_sigs,
-        shingle_sets,
-    )
+    from koalas_spark.operators.dedup import lsh_candidate_pairs
+    from koalas_spark.queries.dedup import minhash_sig_table
 
-    docs = _t(spark, sf_dir, "documents")
-    base = shingle_sets(docs, "doc_id", "text").localCheckpoint(eager=False)
-    sigs = minhash_sigs(base, num_perm=64).localCheckpoint(eager=False)
+    # session-shared shingle/signature artifact (r13): the audit's own
+    # LSH banding + estimate-vs-exact joins stay per-call
+    base, sigs = minhash_sig_table(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, bands=16, rows=4)
     sx = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sa"))
     sy = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sb"))

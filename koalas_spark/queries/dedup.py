@@ -98,26 +98,59 @@ SELECT id_a AS doc_a, id_b AS doc_b, jaccard FROM ver WHERE jaccard >= 0.5
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
-
-    docs = _t(spark, sf_dir, "documents")
-    # Lazy localCheckpoint: the shingle table is consumed twice — once
-    # by the signature UDF and once (single pass, gather-shaped join)
-    # by the verify stage. A MEMORY_AND_DISK persist measured WORSE
-    # than recompute in r4 (3.2-3.9s vs 2.0-2.5s at sf0.1: ser/deser
-    # of array<long> blocks plus pinned executor memory), but a lazy
-    # localCheckpoint materializes the first computation as local
-    # blocks AND truncates the lineage, so the verify side reads
-    # blocks instead of re-running scan+tokenize+shingle: measured
-    # r5 interleaved min-of-4 at sf0.1, checkpoint 1.6-1.8s vs
-    # recompute 2.1-2.4s. Blocks are freed by the ContextCleaner when
-    # the frame goes out of scope.
-    base = shingle_sets(docs, "doc_id", "text").localCheckpoint(eager=False)
-    sigs = minhash_sigs(base, num_perm=64)
+    base, sigs = minhash_sig_table(spark, sf_dir)
     pairs = lsh_candidate_pairs(sigs, bands=16, rows=4)
     return verify_pairs_jaccard(pairs, base, threshold=0.5).withColumnsRenamed(
         {"id_a": "doc_a", "id_b": "doc_b"}
     )
+
+
+_MH_CACHE: dict = {}
+
+
+def minhash_sig_table(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The canonical (hashed shingle table, 64-perm minhash signature
+    table) over this sf_dir's documents, built ONCE PER SESSION (r13,
+    the copurchase_pair_table discipline) and shared by the three
+    batch consumers that previously each re-ran scan + tokenize +
+    shingle + the signature UDF (#38 dedup_minhash_lsh, #209
+    incremental_neardup_minhash, #273 minhash_estimate_audit; each
+    keeps its own LSH banding / verify stages — only the pure
+    function of the documents table is shared).
+
+    Lazy localCheckpoints on both frames for the same reason the
+    per-query versions had them (r4/r5 A/B: MEMORY_AND_DISK persist
+    measured WORSE than recompute; a lazy checkpoint materializes
+    local blocks AND truncates lineage). Session-scoped only: every
+    bench/oracle invocation recomputes from the documents parquet,
+    fingerprinted by the source file; ``rebuild=True`` bypasses the
+    memo (parity test)."""
+    import os
+
+    from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    if rebuild:
+        base = shingle_sets(docs, "doc_id", "text").localCheckpoint(
+            eager=False
+        )
+        return base, minhash_sigs(base, num_perm=64)
+    st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = (
+        id(spark),
+        os.path.basename(sf_dir.rstrip("/")),
+        st_f.st_size,
+        st_f.st_mtime_ns,
+    )
+    got = _MH_CACHE.get(key)
+    if got is not None:
+        return got
+    base = shingle_sets(docs, "doc_id", "text").localCheckpoint(eager=False)
+    sigs = minhash_sigs(base, num_perm=64).localCheckpoint(eager=False)
+    _MH_CACHE[key] = (base, sigs)
+    return base, sigs
 
 
 # 39. exact n-gram Jaccard inside (lang, source) blocks — fully
@@ -602,16 +635,12 @@ WHERE rk = 1
 
 @query("incremental_neardup_minhash", oracle=INC_NEARDUP_ORACLE)
 def incremental_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from koalas_spark.operators.dedup import minhash_sigs, shingle_sets
-
     H, BANDS, ROWS = 250, 16, 4
-    docs = _t(spark, sf_dir, "documents")
-    base = shingle_sets(docs, "doc_id", "text")
     # one signature pass over ALL docs (in production the catalog side
     # is READ from yesterday's sig store, not recomputed — simulated
-    # here by splitting one computed table); checkpoint: band explode
-    # + slot-compare verify both consume it
-    sigs = minhash_sigs(base, num_perm=64).localCheckpoint(eager=False)
+    # here by splitting one computed table); the session-shared
+    # signature artifact serves the band explode + slot-compare verify
+    _, sigs = minhash_sig_table(spark, sf_dir)
 
     def bands(df, out):
         return df.select(

@@ -1179,18 +1179,45 @@ def _uni_viterbi_pieces(vmap, maxw: int = UNI_MAXW, plen: int = UNI_PLEN):
     )["pieces"]
 
 
+_UNI_CACHE: dict = {}
+
+
 def _uni_train(
     spark: SparkSession,
     sf_dir: str,
     rounds: int = UNI_ROUNDS,
     final_segment: bool = False,
+    rebuild: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the trainer; returns (final vocab frame with (piece, cnt,
     prob_nano), segmentation frame (word, freq, pieces)). The
     segmentation is the last E-step's by default (feeds the fertility
     sanity test); with ``final_segment`` it is ONE extra Viterbi pass
     under the FINAL vocab probabilities (the apply path #476
-    consumes)."""
+    consumes).
+
+    The TRAINING PREFIX — corpus word table, seed substring counts,
+    the EM rounds, the final vocab — is identical for both consumers
+    (#475 trains, #476 applies), so it is session-memoized per
+    (sf_dir, rounds) with the copurchase_pair_table discipline (r13):
+    fingerprinted source, nothing survives the process,
+    ``rebuild=True`` bypasses (parity test). #476's final Viterbi
+    segmentation and its (lang, word) corpus rollup stay per-call."""
+    import os
+
+    key = None
+    if not rebuild:
+        st_f = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        key = (
+            id(spark),
+            os.path.basename(sf_dir.rstrip("/")),
+            st_f.st_size,
+            st_f.st_mtime_ns,
+            rounds,
+        )
+        got = _UNI_CACHE.get(key)
+        if got is not None:
+            return _uni_finish(got, final_segment)
     d = _t(spark, sf_dir, "documents")
     w = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -1279,6 +1306,18 @@ def _uni_train(
         .cast("bigint")
         .alias("prob_nano"),
     ).localCheckpoint(eager=False)
+    if key is not None:
+        _UNI_CACHE[key] = (wt, final, seg)
+    return _uni_finish((wt, final, seg), final_segment)
+
+
+def _uni_finish(
+    core: tuple[DataFrame, DataFrame, DataFrame], final_segment: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Per-call tail over the (wt, final, last-E-step seg) prefix:
+    the #476 apply path re-segments the word table under the FINAL
+    vocab probabilities; the train path returns the prefix as-is."""
+    wt, final, seg = core
     if final_segment:
         nrows = final.select("piece", "prob_nano").collect()
         vmap = F.create_map(
