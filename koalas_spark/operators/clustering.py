@@ -45,22 +45,59 @@ def _half_up_div(s: int, n: int) -> int:
     return sign * ((2 * abs(s) + n) // (2 * n))
 
 
-def kmeans_lloyd(
+def _dist_pairs(centroids: list[list[int]]) -> F.Column:
+    # One (cluster, dist) struct array from ONE literal centroid
+    # matrix + ONE transform (r13): the previous shape built k
+    # independent zip_with/aggregate trees and re-derived them for the
+    # argmin, the min and the runner-up, so every iteration re-planned
+    # a ~k*dim*3-node expression forest — at bench scale the driver's
+    # analysis time dominated the whole operator. Distances are the
+    # same exact integer Σ(q−m)²; array_min over struct(d2, c) breaks
+    # ties to the lowest cluster id exactly like the old
+    # array_position-of-min.
+    cmat = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("c"),
+                F.array(*[F.lit(int(x)) for x in cc]).alias("qc"),
+            )
+            for i, cc in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        cmat,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"), s["qc"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            s["c"].alias("c"),
+        ),
+    )
+
+
+def _assign(frame: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    m = F.array_min(_dist_pairs(centroids))
+    return frame.select(
+        "id", "q", m["c"].alias("cluster"), m["d2"].alias("qdist")
+    )
+
+
+def kmeans_core(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 5,
-    second: bool = False,
-) -> DataFrame:
-    """Run `iters` Lloyd iterations; returns (id, cluster, qdist).
-
-    Init: the k lowest-id vectors (deterministic). Empty clusters keep
-    their previous centroid. `qdist` is the exact integer squared L2
-    distance on the 1e-4 quantized grid (i.e. true distance × 1e8).
-    With ``second=True`` the result also carries `qdist2`, the exact
-    squared distance to the second-nearest centroid (what the
-    simplified-silhouette quality metric needs)."""
+) -> tuple[DataFrame, list[list[int]]]:
+    """The training prefix of Lloyd's algorithm: the quantized-corpus
+    checkpoint plus the converged k×dim centroid matrix. Split out
+    (r13) so consumers that share the identical (k, iters) training —
+    kmeans_clusters and silhouette_simplified — can run it once per
+    session and differ only in the final pass (kmeans_finish)."""
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * QUANT + F.lit(0.5)).cast("long")
     )
@@ -76,45 +113,6 @@ def kmeans_lloyd(
         [int(x) for x in r.q] for r in base.orderBy("id").limit(k).collect()
     ]
 
-    # One (cluster, dist) struct array from ONE literal centroid
-    # matrix + ONE transform (r13): the previous shape built k
-    # independent zip_with/aggregate trees and re-derived them for the
-    # argmin, the min and the runner-up, so every iteration re-planned
-    # a ~k*dim*3-node expression forest — at bench scale the driver's
-    # analysis time dominated the whole operator. Distances are the
-    # same exact integer Σ(q−m)²; array_min over struct(d2, c) breaks
-    # ties to the lowest cluster id exactly like the old
-    # array_position-of-min.
-    def dist_pairs() -> F.Column:
-        cmat = F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("long").alias("c"),
-                    F.array(*[F.lit(int(x)) for x in cc]).alias("qc"),
-                )
-                for i, cc in enumerate(centroids)
-            ]
-        )
-        return F.transform(
-            cmat,
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"), s["qc"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                s["c"].alias("c"),
-            ),
-        )
-
-    def assign(frame: DataFrame) -> DataFrame:
-        m = F.array_min(dist_pairs())
-        return frame.select(
-            "id", "q", m["c"].alias("cluster"), m["d2"].alias("qdist")
-        )
-
     dim = len(centroids[0])
     for _ in range(iters):
         # per-dimension sums via posexplode + a (cluster, dim) keyed
@@ -123,7 +121,7 @@ def kmeans_lloyd(
         # columns (the assignment stays a pure map pass — nothing
         # corpus-sized shuffles)
         sums = (
-            assign(base)
+            _assign(base, centroids)
             .select("cluster", F.posexplode("q").alias("i", "val"))
             .groupBy("cluster", "i")
             .agg(
@@ -142,7 +140,14 @@ def kmeans_lloyd(
             for c in {c for c, _ in comp}
         }
         centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return base, centroids
 
+
+def kmeans_finish(
+    base: DataFrame, centroids: list[list[int]], second: bool = False
+) -> DataFrame:
+    """The final assignment pass over a trained (base, centroids)
+    core — per-consumer, never memoized."""
     if second:
         # ONE sorted (d2, c) array serves cluster, qdist AND the
         # runner-up distance (r13): the previous shape ran assign()'s
@@ -152,11 +157,31 @@ def kmeans_lloyd(
         # struct(d2, c) orders by (d2, c), so element 0 is exactly
         # array_min's (min d2, lowest cluster id) tie-break and
         # element 1 is the second-nearest centroid.
-        ds = F.sort_array(dist_pairs())
+        ds = F.sort_array(_dist_pairs(centroids))
         return base.select(
             "id",
             ds[0]["c"].alias("cluster"),
             ds[0]["d2"].alias("qdist"),
             ds[1]["d2"].alias("qdist2"),
         )
-    return assign(base).select("id", "cluster", "qdist")
+    return _assign(base, centroids).select("id", "cluster", "qdist")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 5,
+    second: bool = False,
+) -> DataFrame:
+    """Run `iters` Lloyd iterations; returns (id, cluster, qdist).
+
+    Init: the k lowest-id vectors (deterministic). Empty clusters keep
+    their previous centroid. `qdist` is the exact integer squared L2
+    distance on the 1e-4 quantized grid (i.e. true distance × 1e8).
+    With ``second=True`` the result also carries `qdist2`, the exact
+    squared distance to the second-nearest centroid (what the
+    simplified-silhouette quality metric needs)."""
+    base, centroids = kmeans_core(df, id_col, vec_col, k=k, iters=iters)
+    return kmeans_finish(base, centroids, second=second)

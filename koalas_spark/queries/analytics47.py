@@ -246,12 +246,13 @@ def _sil_oracle() -> str:
 def silhouette_simplified(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from koalas_spark.operators.clustering import kmeans_lloyd
+    from koalas_spark.operators.clustering import kmeans_finish
+    from koalas_spark.queries.similarity import kmeans_embeddings_core
 
-    emb = _t(spark, sf_dir, "embeddings")
-    asn = kmeans_lloyd(
-        emb, "vec_id", "embedding", k=8, iters=3, second=True
-    )
+    # session-shared training core (r13): identical (k=8, iters=3) EM
+    # as #80 kmeans_clusters; the second-nearest final pass is ours
+    base, centroids = kmeans_embeddings_core(spark, sf_dir)
+    asn = kmeans_finish(base, centroids, second=True)
     sil = asn.select(
         F.col("cluster").alias("cl"),
         F.floor(

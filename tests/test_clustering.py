@@ -89,3 +89,29 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert out[0] == out[1]            # exact-zero pair stays together
     assert out[2] == out[3]            # far pair stays together
     assert len({out[0], out[2], out[4]}) == 3  # no cluster collapse
+
+
+def test_kmeans_core_memo_matches_fresh_build(spark):
+    """The session-shared Lloyd training core (r13) must be
+    value-identical to a fresh run (rebuild=True bypasses it), for
+    both consumers' final passes (plain and second=True)."""
+    from koalas_spark.operators.clustering import kmeans_finish
+    from koalas_spark.queries.similarity import kmeans_embeddings_core
+
+    sf = SF_SMOKE
+    base_c, cent_c = kmeans_embeddings_core(spark, sf)
+    base_f, cent_f = kmeans_embeddings_core(spark, sf, rebuild=True)
+    assert cent_c == cent_f
+    for second in (False, True):
+        rows_c = sorted(
+            map(tuple, kmeans_finish(base_c, cent_c, second).collect())
+        )
+        rows_f = sorted(
+            map(tuple, kmeans_finish(base_f, cent_f, second).collect())
+        )
+        assert rows_c == rows_f
+    # and the memo actually memoizes
+    assert (
+        kmeans_embeddings_core(spark, sf)[0]
+        is kmeans_embeddings_core(spark, sf)[0]
+    )
