@@ -1291,27 +1291,35 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bucket"),
     )
-    dbc = bg.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    # ONE corpus-explode pass (r13): the bucket domain is 256 values
+    # (two hex chars), so the raw/target bucket counts AND the global
+    # totals all derive from the per-(doc, lang, bucket) rollup — the
+    # previous shape re-ran the tokenize + bigram-md5 explode FOUR
+    # times (dbc, rawc, tgtc, tot). Counts are identical integers;
+    # per-bucket en-count coalesces to 0 exactly like the old left
+    # join's NULL -> coalesce(ct, 0).
+    # lazy checkpoint: the rollup feeds the per-doc weight join AND the
+    # bucket model (plus its totals aggregate) — materialize the single
+    # explode pass as local blocks instead of re-running it per subtree
+    dlb = (
+        bg.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    rawc = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cr")
-    )
-    tgtc = (
-        bg.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-    )
-    tot = bg.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    dbc = dlb.select("doc_id", "bucket", "c")
+    bcounts = dlb.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0))
         .cast("bigint")
-        .alias("tt"),
-        F.count(F.lit(1)).cast("bigint").alias("tr"),
+        .alias("ct"),
+    )
+    tot = bcounts.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
     )
     nano = F.lit(1000000000)
     model = (
-        rawc.join(tgtc, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        bcounts.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             (
