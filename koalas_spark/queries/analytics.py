@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from koalas_spark.memo import register_memo
 from koalas_spark.plans.session import dim
 
 # decimal(18,6): per-row values fit 12 integer digits at any SF (SF
@@ -20,7 +21,7 @@ from koalas_spark.plans.session import dim
 DEC = "decimal(18,6)"
 
 
-_SPREAD_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SPREAD_CACHE: dict[tuple[int, str], DataFrame] = register_memo({})
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,7 +87,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_time(df)
 
 
-_DAILY_CACHE: dict = {}
+_DAILY_CACHE: dict = register_memo({})
 
 
 def daily_revenue_table(

@@ -15,6 +15,7 @@ from koalas_spark.operators.dedup import (
     verify_pairs_jaccard,
 )
 from koalas_spark.functions.textfn import tokens, word_shingles
+from koalas_spark.memo import register_memo
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 
@@ -105,7 +106,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MH_CACHE: dict = {}
+_MH_CACHE: dict = register_memo({})
 
 
 def minhash_sig_table(

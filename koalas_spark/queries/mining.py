@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from koalas_spark.memo import register_memo
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 from koalas_spark.functions.textfn import tokens
@@ -302,7 +303,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_e.crossJoin(F.broadcast(tri))  # two 1-row frames
 
 
-_PAIR_CACHE: dict = {}
+_PAIR_CACHE: dict = register_memo({})
 
 
 def _copurchase_cache_key(sf_dir: str) -> str:
@@ -386,7 +387,7 @@ def copurchase_pair_table(
     return df
 
 
-_DEG_CACHE: dict = {}
+_DEG_CACHE: dict = register_memo({})
 
 
 def copurchase_degree_table(

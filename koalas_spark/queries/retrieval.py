@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from koalas_spark.functions.textfn import token_count, tokens, word_shingles
+from koalas_spark.memo import register_memo
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 from koalas_spark.queries.text import _BPE_RE
@@ -110,7 +111,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_CACHE: dict = {}
+_BM25_CACHE: dict = register_memo({})
 
 
 def _bm25_parts(
@@ -1179,7 +1180,7 @@ def _uni_viterbi_pieces(vmap, maxw: int = UNI_MAXW, plen: int = UNI_PLEN):
     )["pieces"]
 
 
-_UNI_CACHE: dict = {}
+_UNI_CACHE: dict = register_memo({})
 
 
 def _uni_train(

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from koalas_spark.operators.similarity import brute_force_topk, lsh_topk
+from koalas_spark.memo import register_memo
 from koalas_spark.queries import query
 from koalas_spark.queries.analytics import _t
 
@@ -158,7 +159,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_finish(base, centroids)
 
 
-_KM_CACHE: dict = {}
+_KM_CACHE: dict = register_memo({})
 
 
 def kmeans_embeddings_core(
@@ -643,7 +644,7 @@ FROM (
 # rows-only under the xxhash64 init). Recall against exact brute-force
 # neighbors and per-iteration monotonicity stay unit-tested
 # (tests/test_similarity.py::test_nn_descent_recall_improves).
-_NN_GRAPH_CACHE: dict = {}
+_NN_GRAPH_CACHE: dict = register_memo({})
 
 
 def nn_descent_graph_table(
