@@ -343,22 +343,38 @@ def copurchase_pair_table(
     precomputation). ``rebuild=True`` bypasses the memo and
     recomputes fresh (used by the parity test that proves shared ==
     fresh build)."""
-    li = (
+    # Build shape (r14, guide §2.3/§2.4): ONE scan + TWO exchanges.
+    # collect_set per order replaces the old distinct + orderkey
+    # self-join (2 scans, 4 exchanges — distinct shuffle, both join
+    # re-shuffles on orderkey, pair aggregate); the basket array is
+    # sorted once and the u < v pairs are generated MAP-SIDE with
+    # array combinators, so only the basket rollup and the pair
+    # counts ever cross the network. Value-identical: collect_set ==
+    # the old DISTINCT, and enumerating ordered combinations of the
+    # sorted basket == the old a.partkey < b.partkey join condition.
+    # Skew posture: pairs per order = k(k-1)/2 for basket size k —
+    # bounded by the order line cap (7 for TPC-H-shaped data), so no
+    # per-order hot spot; a corpus with giant baskets would need the
+    # basket split/salt treatment before this explode (guide §2.5).
+    items = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     fresh = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        items.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     if rebuild:

@@ -147,11 +147,23 @@ def _bm25_parts(
             return got
     d = _t(spark, sf_dir, "documents")
     q = spark.createDataFrame(_QUERIES, "query_id int, term string")
-    qt = q.select("term").distinct()
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # r14 (guide §2.3 "project before you generate"): the query-term
+    # set is a fixed 9-term literal, so the membership test runs
+    # INSIDE the token array (one In per element) and only matching
+    # tokens are ever exploded into rows — the old shape exploded
+    # every token of every document into a row and culled them one
+    # broadcast-hash probe later. Value-identical: a token survives
+    # the array filter iff it equals a distinct query term, which is
+    # exactly the old inner join against qt.
+    qterms = sorted({t for _, t in _QUERIES})
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t.isin(*qterms))
+        ).alias("term"),
+    )
     tf = (
-        tok.join(F.broadcast(qt), "term")
-        .groupBy("term", "doc_id")
+        tok.groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)  # feeds df, the score join, rel
     )

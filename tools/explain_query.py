@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for named queries to plans/r13/.
+"""Dump .explain("formatted") for named queries to plans/$SPARK_GRAFT_PLANS_ROUND/
+(default r14).
 
 Usage: python tools/explain_query.py <suffix> <query> [query ...]
-Writes plans/r13/<query>_<suffix>.txt. Builds the DataFrame (some
+Writes plans/<round>/<query>_<suffix>.txt. Builds the DataFrame (some
 queries execute work at construction time) but does not run the noop
 sink, so the captured plan is the pre-execution AQE plan.
 """
@@ -24,7 +25,9 @@ def main() -> None:
     spark = get_spark("explain_r13")
     queries = all_queries()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r13")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    )
     os.makedirs(outdir, exist_ok=True)
     jvm = spark._jvm  # noqa: SLF001
     for name in names:
