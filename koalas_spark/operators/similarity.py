@@ -740,19 +740,32 @@ def nn_descent(
 
     tgt = max(k // 2, 2)
     nb = F.lit(max(n_vec // tgt, 1)).cast("bigint")
-    per_salt = []
-    for salt in range(3):
+    # r14 (guide §2.4): one (salt, bucket)-keyed self-join replaces the
+    # old three per-salt self-joins — co-membership within a salt's
+    # bucket is exactly equality on the (salt, bk) pair, so the union
+    # of the three per-salt joins is value-identical to this single
+    # join over the exploded 3|V|-row bucketing. One build side (one
+    # broadcast under the gate, one shuffle above it) instead of three.
+    def bk_for(salt: int):
         h = portable_hash60(
             F.concat(F.col("vid").cast("string"), F.lit(f":{salt}"))
         )
-        bucketed = vec.select("vid", F.pmod(h, nb).alias("bk"))
-        per_salt.append(
-            bucketed.alias("a")
-            .join(vec_side(bucketed.alias("b")), F.col("a.bk") == F.col("b.bk"))
-            .filter(F.col("a.vid") != F.col("b.vid"))
-            .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+        return F.struct(F.lit(salt).alias("salt"), F.pmod(h, nb).alias("bk"))
+
+    bucketed = vec.select(
+        "vid",
+        F.explode(F.array(*[bk_for(s) for s in range(3)])).alias("sbk"),
+    ).select("vid", F.col("sbk.salt").alias("salt"), F.col("sbk.bk").alias("bk"))
+    cand = (
+        bucketed.alias("a")
+        .join(
+            vec_side(bucketed.alias("b")),
+            (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.bk") == F.col("b.bk")),
         )
-    cand = per_salt[0].unionByName(per_salt[1]).unionByName(per_salt[2])
+        .filter(F.col("a.vid") != F.col("b.vid"))
+        .select(F.col("a.vid").alias("src"), F.col("b.vid").alias("dst"))
+    )
 
     def top_k(cands: DataFrame) -> DataFrame:
         # ONE exchange per round (r13, guide §2.4): the candidate
@@ -808,9 +821,18 @@ def nn_descent(
     edges = top_k(cand).localCheckpoint(eager=False)
     for _ in range(iters):
         e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        # r14 (guide §3.1): the neighbor-of-neighbor self-join's input
+        # sits behind a checkpoint, so the planner has no size
+        # estimate and falls back to a shuffle join — 2 exchanges per
+        # round for a k|V|-row edge list (10x the vector table's rows,
+        # same order of bytes). Ride the SAME size gate as the vector
+        # lookups: under it the q side broadcasts and the whole
+        # candidate generation is map-side over the checkpoint; above
+        # it the shuffle join returns unchanged. Join strategy only —
+        # values are identical either way.
         non = (
             e1.alias("p")
-            .join(e1.alias("q"), F.col("p.y") == F.col("q.x"))
+            .join(vec_side(e1.alias("q")), F.col("p.y") == F.col("q.x"))
             .select(F.col("p.x").alias("src"), F.col("q.y").alias("dst"))
         )
         rev = e1.select(F.col("y").alias("src"), F.col("x").alias("dst"))

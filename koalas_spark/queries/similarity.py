@@ -747,13 +747,34 @@ def _graph_search_frames(
         F.col("v").alias("cv"),
         F.col("n2").alias("cn2"),
     )
+    # r14 (guide §3.1, VERDICT r13 #6): metadata-gated broadcast of
+    # the two walk-probed tables — the vector table (scoring lookups)
+    # and the k-NN edge table (neighbor expansion). Under the gate the
+    # stream side of every per-round join is the ≤(probes×beam×degree)
+    # candidate frame, the two broadcast builds are REUSED across all
+    # rounds (identical build plans → ReuseExchange), and the walk
+    # stops paying one full corpus/graph scan PER ROUND. Above the
+    # gate the r13 shape returns unchanged: broadcast(tiny cand)
+    # probing the corpus-sized tables. Join strategy only — values
+    # are identical either way. 64 MB of source parquet ≈ 160k
+    # vectors ≈ a ~160 MB vector relation / ~26 MB edge relation.
+    import os as _os
+
+    _bc_walk = (
+        _os.stat(_os.path.join(sf_dir, "embeddings.parquet")).st_size
+        <= 64 << 20
+    )
+
+    def walk_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if _bc_walk else df
 
     def score(cand: DataFrame) -> DataFrame:
-        # cand is probes×beam×degree-bounded — IT broadcasts; the
-        # corpus-sized vector table is probed by equi-join on node
+        # cand is probes×beam×degree-bounded — IT broadcasts (above
+        # the walk gate); the corpus-sized vector table is probed by
+        # equi-join on node
         return (
-            F.broadcast(cand)
-            .join(cvec, "node")
+            (cand if _bc_walk else F.broadcast(cand))
+            .join(walk_side(cvec), "node")
             .join(F.broadcast(probe), "pid")
             .select(
                 "pid",
@@ -787,11 +808,23 @@ def _graph_search_frames(
     vis_parts = [sc]
     for _ in range(3):
         nb = (
-            F.broadcast(beam)
-            .join(graph, beam["node"] == graph["src"])
+            (beam if _bc_walk else F.broadcast(beam))
+            .join(walk_side(graph), beam["node"] == graph["src"])
             .select("pid", F.col("dst").alias("node"))
         )
-        cand = beam.unionByName(nb).distinct()
+        # ONE exchange per round (r14, guide §2.4 — the khop trick):
+        # the candidate union is hash-partitioned on pid once; the
+        # (pid, node) dedup rides it (pid ⊆ the dedup keys), the
+        # scoring joins are broadcast probes under the walk gate
+        # (partitioning-preserving), and the per-probe top-k window
+        # rides it too. The old shape paid two exchanges per round
+        # (distinct + window sort). dropDuplicates(pid, node) ≡ the
+        # old distinct: cand rows are exactly (pid, node) pairs.
+        cand = (
+            beam.unionByName(nb)
+            .repartition(spark.sparkContext.defaultParallelism, "pid")
+            .dropDuplicates(["pid", "node"])
+        )
         sc = score(cand).localCheckpoint(eager=False)
         beam = (
             sc.withColumn("rk", F.row_number().over(w))
@@ -802,9 +835,14 @@ def _graph_search_frames(
     vis = vis_parts[0]
     for part in vis_parts[1:]:
         vis = vis.unionByName(part)
+    # final ranking: same one-exchange discipline — scores are
+    # deterministic per (pid, node), so dedup on (pid, node) over the
+    # appended rounds ≡ the old full-row distinct, and both it and
+    # the window ride one pid-keyed exchange.
     ranked = (
         vis.filter(F.col("node") != F.col("pid"))
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "pid")
+        .dropDuplicates(["pid", "node"])
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select(
