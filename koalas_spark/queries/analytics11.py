@@ -215,7 +215,15 @@ def label_propagation_communities(
         # map-side-combined vote aggregate as the round's only
         # shuffle (was: edge frame re-shuffled on v every round).
         # Above the gate the old shuffle join returns unchanged.
-        votes = (
+        # r14 (guide §2.4): the whole per-round argmax — count votes
+        # per (node, label), keep the most frequent label, break ties
+        # to the SMALLEST label — is exactly Spark 4's deterministic
+        # MODE aggregate (ties return the lowest value), so the round
+        # is ONE map-side-combined aggregate + ONE exchange instead of
+        # the old two ((x, l) count shuffle, then per-node argmax
+        # shuffle). Value-identical by the mode(deterministic=true)
+        # contract; the oracle still replays the two-step form.
+        labels = (
             d.join(
                 bcast_v(
                     labels.select(
@@ -225,15 +233,8 @@ def label_propagation_communities(
                 ),
                 d["v"] == F.col("nx"),
             )
-            .groupBy(F.col("u").alias("x"), "l")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-        # argmax (c desc, l asc) == max over (c, -l); labels are
-        # positive part keys so the negation is a safe order flip
-        labels = (
-            votes.groupBy("x")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("l")).alias("nl"))).alias("m"))
-            .select("x", (-F.col("m.nl")).alias("lbl"))
+            .groupBy(F.col("u").alias("x"))
+            .agg(F.mode("l", True).alias("lbl"))
             .localCheckpoint(eager=True)
         )
         if prev is not None:

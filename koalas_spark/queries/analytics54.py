@@ -110,7 +110,13 @@ def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |V|-sized label lookup rides the bcast_v gate (the #242 r13
         # rework): the edge frame streams through the join with no
         # exchange; the vote aggregate is the round's only shuffle.
-        votes = (
+        # r14 (the #242 rework, guide §2.4): the vote count + per-node
+        # argmax (c DESC, l ASC) is exactly Spark 4's deterministic
+        # MODE aggregate (most frequent, ties to the lowest), so the
+        # round is ONE map-side-combined aggregate + ONE exchange
+        # instead of two. Values identical; the oracle replays the
+        # two-step form.
+        labels = (
             d.join(
                 bcast_v(
                     labels.select(
@@ -120,17 +126,8 @@ def modularity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 d["v"] == F.col("nx"),
             )
-            .groupBy(F.col("u").alias("x"), "l")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-        labels = (
-            votes.groupBy("x")
-            .agg(
-                F.max(F.struct(F.col("c"), (-F.col("l")).alias("nl"))).alias(
-                    "m"
-                )
-            )
-            .select("x", (-F.col("m.nl")).alias("lbl"))
+            .groupBy(F.col("u").alias("x"))
+            .agg(F.mode("l", True).alias("lbl"))
             .localCheckpoint(eager=True)
         )
         if prev is not None:
