@@ -358,17 +358,32 @@ def local_clustering_copurchase(
     probes = deg.filter(
         (F.col("c") % 97 == 0) & (F.col("dg") >= 2) & (F.col("dg") <= 256)
     ).select(F.col("c").alias("u"), "dg")
+    from koalas_spark.queries.mining import bcast_e, bcast_v
+
     a1 = adj.select(F.col("c").alias("u"), F.col("x").alias("c1"))
     a2 = adj.select(F.col("c").alias("u"), F.col("x").alias("c2"))
+    # r14 (guide §3.1, the jaccard-family r13 treatment): the probe
+    # set is a ≤|V|/97 slice of the degree table — broadcasting it
+    # under the bcast_v gate lets the 2|E|-row adjacency STREAM
+    # through both wedge joins (was: adj sort-merge-shuffled on u
+    # twice just to keep ~200 probes). The closing edge lookup rides
+    # the |E|-gate (bcast_e) like the wedge family's closing joins.
+    # Above the gates the shuffle joins return unchanged.
+    w1 = bcast_v(probes, sf_dir).join(a1, "u")
+    # the half-open wedge frame is Σ_probe dg ≤ (|V|/97)·256 rows —
+    # |V|-linear with a bounded constant, so it rides the same gate
     wedges = (
-        probes.join(a1, "u")
+        bcast_v(w1, sf_dir)
         .join(a2, "u")
         .filter(F.col("c2") > F.col("c1"))
         .select("u", "dg", "c1", "c2")
     )
     tri = (
         wedges.join(
-            e.select(F.col("u").alias("c1"), F.col("v").alias("c2")),
+            bcast_e(
+                e.select(F.col("u").alias("c1"), F.col("v").alias("c2")),
+                sf_dir,
+            ),
             ["c1", "c2"],
         )
         .groupBy("u")

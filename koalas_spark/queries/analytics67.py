@@ -165,6 +165,8 @@ def rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_degree_table,
     )
 
+    from koalas_spark.queries.mining import bcast_v
+
     e = _copurchase_edge_set(spark, sf_dir)
     # degrees from the materialized |V|-sized artifact (round 12) —
     # the 2|E|-row degree shuffle no longer re-runs per consumer
@@ -172,9 +174,14 @@ def rich_club_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = deg.groupBy("dg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     du = deg.select(F.col("x").alias("u"), F.col("dg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("dg").alias("dv"))
+    # r14 (guide §3.1, the jaccard-family r13 treatment): both degree
+    # lookups are |V|-sized — under the bcast_v gate the |E|-row edge
+    # frame STREAMS through them with no exchange (was: e sort-merge-
+    # shuffled on u, then again on v). Above the gate the shuffle
+    # joins return unchanged.
     em = (
-        e.join(du, "u")
-        .join(dv, "v")
+        e.join(bcast_v(du, sf_dir), "u")
+        .join(bcast_v(dv, sf_dir), "v")
         .groupBy(F.least("du", "dv").alias("mind"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

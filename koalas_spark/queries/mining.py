@@ -608,11 +608,27 @@ def _count_triangles(e: DataFrame, ckpt_level=None, deg: DataFrame | None = None
             .alias("s")
         )
         .select("s.src", "s.dst", "s.ddst")
+        # r14 measured-negative: keying this frame on src before the
+        # checkpoint (hoping the wedge self-join would reuse the
+        # partitioning, "the khop trick") does NOT work — Spark 4.1's
+        # localCheckpoint records UnknownPartitioning on the LogicalRDD
+        # (verified with and without AQE, eager and lazy), so the
+        # extra exchange was pure overhead (7.09 -> 7.73s).
         .localCheckpoint(eager=False, storageLevel=ckpt_level)
     )
+    # r14 (guide §3.1): both wedge-stage joins sit behind the
+    # checkpoint, so the planner has no size estimate and falls back
+    # to sort-merge — which SORTS the wedge fan-out (the largest frame
+    # in the pipeline) just to join it. SHUFFLE_HASH on the |E|-sized
+    # sides (y: the oriented frame; z: its 2-column projection) keeps
+    # the shuffles but drops the sorts: each partition builds a hash
+    # table over its |E|/P slice (~36 MB at sf10's 300M oriented rows
+    # across 200 partitions) and the wedge stream probes it. Same-
+    # session alternating A/B at sf0.1: SMJ min 7.54 / med 8.3 vs SHJ
+    # min 5.58 / med 6.0. Join strategy only — counts identical.
     x = o.alias("x")
-    y = o.alias("y")
-    z = o.select("src", "dst").alias("z")
+    y = o.hint("shuffle_hash").alias("y")
+    z = o.select("src", "dst").hint("shuffle_hash").alias("z")
     wedges = x.join(
         y,
         (F.col("x.src") == F.col("y.src"))
